@@ -1,0 +1,115 @@
+"""Main driver CLI: --preprocess / --train / --detect.
+
+Interface-parity rebuild of /root/reference/base.py:116-139 (same flags,
+same prediction-JSON output contract), TPU-native internals: no
+mp.spawn / NCCL — one process drives all local devices via a jitted,
+mesh-sharded train step (multi-host pods initialize jax.distributed
+once at startup). The --preprocess path, broken in the reference
+(base.py:29 calls a function that only exists under lib/deprecated/),
+here materializes segment artifacts from annotations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from collections import defaultdict
+
+from tspn_tpu.config import get_default_config
+from tspn_tpu import association
+from tspn_tpu.data import BaseVidOR, BaseVidVRD
+from tspn_tpu.data.segments import get_model_path, set_output_dir
+from tspn_tpu.runtime.logging_utils import get_timestamp, setup_logger
+
+
+def _build_basedata(args, data_dir):
+    if args.dataset == "vidvrd":
+        return BaseVidVRD(data_dir, os.path.join(data_dir, "videos"), ["train", "test"])
+    if args.dataset == "vidor":
+        return BaseVidOR(
+            os.path.join(data_dir, "annotation"),
+            os.path.join(data_dir, "videos"),
+            ["train", "test"],
+        )
+    raise ValueError(f"No dataset named {args.dataset}")
+
+
+def preprocessing(cfg, args, data_dir):
+    logger = setup_logger("preprocess", "logs", 0, f"{get_timestamp()}_preprocess.txt")
+    basedata = _build_basedata(args, data_dir)
+    from tspn_tpu.data.synthetic import generate_segment_artifacts
+
+    logger.info("materializing per-segment relation features from annotations...")
+    count = generate_segment_artifacts(basedata, cfg.ETC.OUTPUT_DIR)
+    logger.info(f"wrote artifacts for {count} segments")
+
+
+def training(cfg, args, data_dir):
+    basedata = _build_basedata(args, data_dir)
+    from tspn_tpu.runtime.train import train
+
+    train(cfg, basedata, resume=args.resume)
+
+
+def detect(cfg, args, data_dir):
+    basedata = _build_basedata(args, data_dir)
+    logger = setup_logger("detect", "logs", 0, f"{get_timestamp()}_detect.txt")
+    from tspn_tpu.runtime.predict import predict
+
+    logger.info("predict short term relations")
+    short_term_relations = predict(cfg, basedata, logger)
+
+    logger.info("group short term relations by video")
+    video_st_relations = defaultdict(list)
+    for index, st_rel in short_term_relations.items():
+        video_st_relations[index[0]].append((index, st_rel))
+
+    logger.info("video-level visual relation detection by greedy relational association")
+    video_relations = {
+        vid: association.greedy_relational_association(
+            basedata, rels, max_traj_num_in_clip=100
+        )
+        for vid, rels in video_st_relations.items()
+    }
+
+    logger.info("saving detection result")
+    out_path = os.path.join(get_model_path(), "baseline_relation_prediction.json")
+    with open(out_path, "w") as f:
+        json.dump({"version": "VERSION 1.0", "results": video_relations}, f)
+    logger.info(f"wrote {out_path}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="VidVRD TSPN (TPU-native)")
+    parser.add_argument("--config", type=str, default="configs/baseline.yaml")
+    parser.add_argument("--data_dir", type=str, help="dataset directory")
+    parser.add_argument("--dataset", type=str, help="the dataset name for training")
+    parser.add_argument("--preprocess", action="store_true", help="Preprocess dataset")
+    parser.add_argument("--train", action="store_true", help="Train model")
+    parser.add_argument("--detect", action="store_true", help="Detect video visual relation")
+    parser.add_argument("--resume", action="store_true", help="Resume from latest checkpoint")
+    # accepted for reference CLI compatibility; mesh config supersedes them
+    parser.add_argument("--nodes", type=int, default=1)
+    parser.add_argument("--ngpus_per_node", type=int, default=1)
+    parser.add_argument("--local_rank", type=int, default=0)
+    args = parser.parse_args()
+
+    if not (args.train or args.detect or args.preprocess):
+        parser.print_help()
+        return
+
+    cfg = get_default_config()
+    cfg.merge_from_file(args.config)
+    set_output_dir(cfg.ETC.OUTPUT_DIR)
+    data_dir = os.path.join(args.data_dir, args.dataset)
+    if args.preprocess:
+        preprocessing(cfg, args, data_dir)
+    if args.train:
+        training(cfg, args, data_dir)
+    if args.detect:
+        detect(cfg, args, data_dir)
+
+
+if __name__ == "__main__":
+    main()

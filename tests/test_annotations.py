@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+from tspn_tpu.data.segments import segment_video
+
+
+def test_segment_video_tiling():
+    # 30-frame windows, 15-frame stride (lib/modeling/__init__.py:35-41)
+    assert segment_video(0, 30) == [(0, 30)]
+    assert segment_video(0, 75) == [(0, 30), (15, 45), (30, 60), (45, 75)]
+    assert segment_video(0, 29) == []
+    assert segment_video(60, 120) == [(60, 90), (75, 105), (90, 120)]
+
+
+def test_vocab_is_sorted(synthetic_dataset):
+    ds = synthetic_dataset
+    names = [ds.get_object_name(i) for i in range(ds.get_object_num())]
+    assert names == sorted(names)
+    preds = [ds.get_predicate_name(i) for i in range(ds.get_predicate_num())]
+    assert preds == sorted(preds)
+    # id <-> name roundtrip
+    for i, n in enumerate(names):
+        assert ds.get_object_id(n) == i
+
+
+def test_split_index_and_inference(synthetic_dataset):
+    ds = synthetic_dataset
+    assert len(ds.get_index("train")) == 3
+    assert len(ds.get_index("test")) == 2
+    # substring inference (dataset.py:104-115)
+    assert ds.get_index("tes") == ds.get_index("test")
+    with pytest.raises(KeyError):
+        ds.get_index("validation")
+
+
+def test_relation_insts_schema(synthetic_dataset):
+    ds = synthetic_dataset
+    vid = ds.get_index("train")[0]
+    insts = ds.get_relation_insts(vid)
+    assert len(insts) > 0
+    inst = insts[0]
+    assert set(inst) == {
+        "triplet", "subject_tid", "object_tid", "duration", "sub_traj", "obj_traj",
+    }
+    dur = inst["duration"]
+    assert len(inst["sub_traj"]) == dur[1] - dur[0]
+    # no_traj drops trajectories
+    lite = ds.get_relation_insts(vid, no_traj=True)[0]
+    assert "sub_traj" not in lite
+
+
+def test_object_insts_trajectory_dict(synthetic_dataset):
+    ds = synthetic_dataset
+    vid = ds.get_index("train")[0]
+    insts = ds.get_object_insts(vid)
+    assert {i["tid"] for i in insts} == {0, 1, 2}
+    traj = insts[0]["trajectory"]
+    assert "0" in traj and len(traj["0"]) == 4
+
+
+def test_get_triplets(synthetic_dataset):
+    ds = synthetic_dataset
+    trips = ds.get_triplets("train")
+    assert all(len(t) == 3 for t in trips)
+    assert len(trips) > 0

@@ -1,0 +1,236 @@
+"""Segment-level relation dataset: (vid, fstart, fend) -> fixed-shape pytree.
+
+TPU-native rebuild of /root/reference/lib/dataset/vrdataset.py. The
+reference returns ragged PairList/TargetList objects per segment; XLA
+wants one compiled program per shape, so here every segment is padded to
+a tracklet-count bucket and returned as a dict of fixed-shape NumPy
+arrays (a "SegmentBatch" pytree) ready to ship to the device.
+
+Deviations from the reference, deliberate and load-bearing:
+
+1. Label alignment. VRDataset._get_proposals_rel_feature
+   (vrdataset.py:85-138) builds its label matrix as a Python dict keyed
+   by pair index with positives inserted first, then converts
+   `list(dict.values())` to a tensor — so label ROW r no longer
+   corresponds to pair row r whenever any positive pair exists, and the
+   subsequent `pred_labels[proposal_idx]` indexes scrambled rows. We
+   keep labels indexed by pair row (correct alignment).
+2. Multi-label union. The reference overwrites a pair's one-hot when a
+   second GT relation matches the same proposal pair; we OR the one-hots
+   together (the loss is multi-label BCE, so union is the faithful
+   target).
+3. The O(pairs x GT) Python matching loop is replaced by vectorized
+   boolean outer products over the precomputed tracklet IoU matrix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tspn_tpu.data.annotations import AnnotationDataset
+from tspn_tpu.data.feature_store import (
+    SegmentFeatures,
+    l1_normalize_bow_blocks,
+    read_segment_features,
+    segment_feature_exists,
+)
+from tspn_tpu.data.segments import segment_video
+from tspn_tpu.data.trajectory import load_trajectory_proposals
+
+SegmentIndex = Tuple[str, int, int]
+
+
+@dataclass
+class SegmentRecord:
+    """One segment's proposal-pair features and labels (ragged, host)."""
+
+    index: SegmentIndex
+    feats: np.ndarray       # (P, D) float32, BoW blocks L1-normalized
+    pairs: np.ndarray       # (P, 2) int64 — proposal tracklet indices
+    labels: np.ndarray      # (P, num_predicates) float32 multi-hot
+    cls_logits: np.ndarray  # (N, num_objects) float32 per-tracklet classeme
+    num_proposals: int      # N (= tracklets with trackid < 0)
+    iou: np.ndarray         # (N+GT, N+GT) float32 — kept for prediction output
+    trackid: np.ndarray     # (N+GT,) int64
+
+
+class SegmentDataset:
+    """Enumerates segments with GT relations and assembles SegmentRecords.
+
+    Mirrors VRDataset.__init__ (vrdataset.py:17-56): train phase tiles
+    each GT relation's duration into 30/15 segments; test phase tiles the
+    whole video; segments without a cached feature file are dropped.
+    """
+
+    def __init__(self, cfg, dataset: AnnotationDataset, phase: str):
+        self.cfg = cfg
+        self.phase = phase
+        self.num_predicates = cfg.PREDICT.PREDICATE_NUM
+        self.num_objects = cfg.PREDICT.OBJECT_NUM
+        self.logit_only = cfg.DATASET.LOGIT_ONLY
+        self.use_gt_obj_trajs = cfg.DATASET.USE_GT_OBJ_TRAJS
+        self.iou_threshold = 0.5
+
+        self.gt_rel_insts: Dict[SegmentIndex, List[tuple]] = {}
+        for vid in dataset.get_index(split=phase):
+            anno = dataset.get_anno(vid) if phase == "test" else None
+            for rel in dataset.get_relation_insts(vid, no_traj=True):
+                sub_name, pred_name, obj_name = rel["triplet"]
+                entry = (
+                    rel["subject_tid"],
+                    rel["object_tid"],
+                    dataset.get_object_id(sub_name),
+                    dataset.get_object_id(obj_name),
+                    dataset.get_predicate_id(pred_name),
+                )
+                if phase == "train":
+                    segs = segment_video(*rel["duration"])
+                else:
+                    segs = segment_video(0, anno["frame_count"])
+                for fstart, fend in segs:
+                    if segment_feature_exists(vid, fstart, fend):
+                        self.gt_rel_insts.setdefault((vid, fstart, fend), []).append(entry)
+        self.index: List[SegmentIndex] = list(self.gt_rel_insts.keys())
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    # ---------------------------------------------------------------- labels
+    def _match_labels(self, seg: SegmentFeatures, insts: List[tuple]) -> np.ndarray:
+        """(P_all, num_predicates) multi-hot over ALL pair rows.
+
+        Vectorized form of vrdataset.py:85-138: a proposal pair (i, j) is
+        positive for predicate p if some GT relation (s, p, o) has
+        iou(i, gt_s) >= 0.5 and iou(j, gt_o) >= 0.5, i != j, and both i, j
+        are proposals.
+        """
+        n_all = seg.num_tracklets
+        labels_matrix = np.zeros((n_all, n_all, self.num_predicates), dtype=np.float32)
+        is_proposal = seg.trackid < 0
+        gt_pos = {int(tid): k for k, tid in enumerate(seg.trackid) if tid >= 0}
+        for sub_tid, obj_tid, _sub_cls, _obj_cls, pred_idx in insts:
+            if sub_tid not in gt_pos or obj_tid not in gt_pos:
+                continue
+            sub_hit = (seg.iou[:, gt_pos[sub_tid]] >= self.iou_threshold) & is_proposal
+            obj_hit = (seg.iou[:, gt_pos[obj_tid]] >= self.iou_threshold) & is_proposal
+            pos = np.outer(sub_hit, obj_hit)
+            np.fill_diagonal(pos, False)
+            labels_matrix[..., pred_idx] = np.maximum(
+                labels_matrix[..., pred_idx], pos.astype(np.float32)
+            )
+        return labels_matrix[seg.pairs[:, 0], seg.pairs[:, 1]]
+
+    # ---------------------------------------------------------------- access
+    def load_segment(self, idx: int) -> SegmentRecord:
+        index = self.index[idx]
+        vid, fstart, fend = index
+        seg = read_segment_features(vid, fstart, fend)
+        assert seg is not None, f"missing relation feature for {index}"
+
+        labels = self._match_labels(seg, self.gt_rel_insts[index])
+
+        # keep only proposal-proposal pairs (vrdataset.py:140-148)
+        is_proposal = seg.trackid < 0
+        keep = is_proposal[seg.pairs[:, 0]] & is_proposal[seg.pairs[:, 1]]
+        feats = l1_normalize_bow_blocks(seg.feats[keep])
+        pairs = seg.pairs[keep].astype(np.int64)
+        labels = labels[keep]
+
+        cls_logits = self._load_cls_logits(vid, fstart, fend)
+        return SegmentRecord(
+            index=index,
+            feats=feats,
+            pairs=pairs,
+            labels=labels,
+            cls_logits=cls_logits,
+            num_proposals=int(np.sum(is_proposal)),
+            iou=seg.iou,
+            trackid=seg.trackid.astype(np.int64),
+        )
+
+    def _load_cls_logits(self, vid: str, fstart: int, fend: int) -> np.ndarray:
+        """Per-tracklet classeme logits from the traj_cls store
+        (vrdataset.py:151-162)."""
+        trajs = load_trajectory_proposals(
+            vid, fstart, fend, gt=self.use_gt_obj_trajs, logit_only=self.logit_only
+        )
+        if self.logit_only:
+            rows = trajs
+        else:
+            rows = [t.classeme for t in trajs]
+        if not rows:
+            return np.zeros((0, self.num_objects), dtype=np.float32)
+        return np.asarray(rows, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-shape padding for XLA
+# ---------------------------------------------------------------------------
+
+def pick_bucket(num_tracklets: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= num_tracklets (largest bucket if none fits —
+    the record is then truncated to that capacity)."""
+    for b in sorted(buckets):
+        if num_tracklets <= b:
+            return b
+    return max(buckets)
+
+
+def pad_record(
+    record: SegmentRecord,
+    n_bucket: int,
+    num_predicates: int,
+    num_objects: int,
+    feature_dim: int,
+) -> Dict[str, np.ndarray]:
+    """Pad one SegmentRecord to a fixed (n_bucket) tracklet capacity.
+
+    Returns the per-segment "SegmentBatch" leaves (unbatched):
+      feats       (P_max, D)         P_max = n_bucket * (n_bucket - 1)
+      pairs       (P_max, 2) int32   padded entries point at tracklet 0
+      labels      (P_max, num_predicates)
+      pair_mask   (P_max,) float32   1 for real pairs
+      cls_logits  (n_bucket, num_objects)
+      track_mask  (n_bucket,) float32
+    """
+    n = min(record.num_proposals, n_bucket)
+    p_max = n_bucket * (n_bucket - 1)
+    d = feature_dim
+
+    keep = (record.pairs[:, 0] < n) & (record.pairs[:, 1] < n)
+    feats_src = record.feats[keep]
+    pairs_src = record.pairs[keep]
+    labels_src = record.labels[keep]
+    p = min(feats_src.shape[0], p_max)
+
+    feats = np.zeros((p_max, d), dtype=np.float32)
+    pairs = np.zeros((p_max, 2), dtype=np.int32)
+    labels = np.zeros((p_max, num_predicates), dtype=np.float32)
+    pair_mask = np.zeros((p_max,), dtype=np.float32)
+    feats[:p] = feats_src[:p]
+    pairs[:p] = pairs_src[:p]
+    labels[:p] = labels_src[:p]
+    pair_mask[:p] = 1.0
+
+    cls_logits = np.zeros((n_bucket, num_objects), dtype=np.float32)
+    m = min(record.cls_logits.shape[0], n)
+    cls_logits[:m] = record.cls_logits[:m]
+    track_mask = np.zeros((n_bucket,), dtype=np.float32)
+    track_mask[:n] = 1.0
+
+    return {
+        "feats": feats,
+        "pairs": pairs,
+        "labels": labels,
+        "pair_mask": pair_mask,
+        "cls_logits": cls_logits,
+        "track_mask": track_mask,
+    }
+
+
+def stack_records(padded: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack same-bucket padded segments into a leading batch dimension."""
+    return {k: np.stack([p[k] for p in padded], axis=0) for k in padded[0]}

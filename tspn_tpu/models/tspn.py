@@ -1,0 +1,111 @@
+"""TSPN top model: RelPN (PPN + DPN) + relation-of-interest classifier.
+
+Rebuild of /root/reference/lib/modeling/model.py:7-88 and
+relpn/relpn.py:9-59 as one flax module over fixed-shape SegmentBatch
+pytrees. The classifier is the reference's Linear(FEATURE_DIM ->
+PREDICATE_NUM) with normal(0.01) weight init and zero bias
+(model.py:76-88); PPN/DPN are gated by cfg flags exactly like
+make_relpn. Training losses are computed in train_step (see
+tspn_tpu/parallel/train_step.py) from the logits returned here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tspn_tpu.models.dpn import DPN
+from tspn_tpu.models.ppn import PPNHead
+
+
+class RelationPredictor(nn.Module):
+    """Per-pair predicate scorer (model.py:76-88). Returns LOGITS."""
+
+    num_predicates: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            self.num_predicates,
+            kernel_init=nn.initializers.normal(stddev=0.01),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="rel_predictor",
+        )(feats)
+
+
+class TSPNModel(nn.Module):
+    """Segment-level forward over a SegmentBatch pytree.
+
+    Inputs (leading batch dim B, tracklet bucket N, pairs P = N(N-1)):
+      feats       (B, P, D)   pair relation features
+      cls_logits  (B, N, C)   per-tracklet classeme logits
+      pair_mask   (B, P)      1 for real pairs
+      track_mask  (B, N)      1 for real tracklets
+
+    Outputs dict:
+      rel_logits  (B, P, num_predicates)
+      pair_logits (B, N, N)   — present iff use_ppn
+    DPN runs at video level via `DPN` directly (see predict_video);
+    within a single 30-frame segment there is no span to propose.
+    """
+
+    num_predicates: int = 132
+    use_ppn: bool = True
+    use_dpn: bool = True
+    ppn_hidden: int = 64
+    ppn_out: int = 35
+    dpn_anchor_sizes: tuple = (15, 30, 45, 60)
+    dpn_anchor_stride: float = 15.0
+    dpn_num_proposals: int = 64
+    dpn_frames_per_step: float = 15.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.classifier = RelationPredictor(
+            num_predicates=self.num_predicates, dtype=self.dtype
+        )
+        if self.use_ppn:
+            self.ppn_head = PPNHead(
+                hidden_channels=self.ppn_hidden,
+                out_channels=self.ppn_out,
+                dtype=self.dtype,
+            )
+        if self.use_dpn:
+            self.dpn = DPN(
+                anchor_sizes=self.dpn_anchor_sizes,
+                anchor_stride=self.dpn_anchor_stride,
+                num_duration_proposals=self.dpn_num_proposals,
+                frames_per_step=self.dpn_frames_per_step,
+                dtype=self.dtype,
+            )
+
+    def __call__(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+        out = {"rel_logits": self.classifier(batch["feats"])}
+        if self.use_ppn:
+            out["pair_logits"] = self.ppn_head(batch["cls_logits"])
+        return out
+
+    def duration_forward(self, pair_seq_feats: jnp.ndarray):
+        """Video-level DPN pass: (B_pairs, T, C) -> relness/deltas/anchors."""
+        assert self.use_dpn, "duration_forward requires use_dpn=True"
+        return self.dpn(pair_seq_feats)
+
+
+def build_model(cfg) -> TSPNModel:
+    """Instantiate TSPNModel from a config tree (mirrors BaseModel(cfg))."""
+    dtype = jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32
+    return TSPNModel(
+        num_predicates=cfg.PREDICT.PREDICATE_NUM,
+        use_ppn=cfg.RELPN.USE_PPN,
+        use_dpn=cfg.RELPN.USE_DPN,
+        ppn_hidden=cfg.RELPN.PPN.HIDDEN_CHANNELS,
+        ppn_out=cfg.RELPN.PPN.OUT_CHANNELS,
+        dpn_anchor_sizes=tuple(cfg.RELPN.DPN.ANCHOR_SIZES),
+        dpn_anchor_stride=float(cfg.RELPN.DPN.ANCHOR_STRIDE),
+        dpn_num_proposals=cfg.RELPN.DPN.NUM_DURATION_PROPOSALS,
+        dtype=dtype,
+    )

@@ -1,0 +1,167 @@
+"""Short-term relation prediction over test segments.
+
+Counterpart of /root/reference/lib/modeling/predict.py:14-123. The
+per-segment Python list-comprehension hot spot (predict.py:79-106) is
+replaced by a jitted two-stage top-k on device:
+
+  stage 1: top TOPK_PER_PAIR predicates per pair    (lax.top_k on P x 132)
+  stage 2: top TOPK_PER_SEG (pair, predicate) pairs (lax.top_k on P*k)
+
+Subject/object labels: the reference indexes the pair-feature matrix at
+row (num_tracklet-1)*tid for BOTH roles (predict.py:88-89). For the
+subject that row's [:35] slice is tracklet tid's classeme; for the
+OBJECT the [35:70] slice of that row belongs to the pair's second
+element, NOT tid — i.e. the reference labels objects with an unrelated
+tracklet's classeme. We use each tracklet's own classeme logits
+(track_cls_logits[tid]), which is what that code plainly intends.
+
+Output contract matches the reference exactly:
+  short_term_relations[index] = (predictions, iou, trackid) with
+  predictions = [(score, (s_cls, pred, o_cls), (s_tid, o_tid)), ...].
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tspn_tpu.data.loader import BucketedLoader
+from tspn_tpu.data.segments import get_model_path
+from tspn_tpu.data.vrdataset import SegmentDataset
+from tspn_tpu.models.tspn import build_model
+from tspn_tpu.runtime.checkpoint import load_checkpoint
+from tspn_tpu.runtime.logging_utils import setup_logger
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _select_topk(
+    rel_prob: jnp.ndarray,
+    pair_mask: jnp.ndarray,
+    topk_per_pair: int,
+    topk_per_seg: int,
+):
+    """(P, R) probabilities -> flattened per-segment top-k selection.
+
+    Returns (scores (K,), pair_idx (K,), pred_idx (K,), valid (K,)).
+    """
+    p, r = rel_prob.shape
+    k1 = min(topk_per_pair, r)
+    per_pair_scores, per_pair_preds = jax.lax.top_k(rel_prob, k1)  # (P, k1)
+    masked = jnp.where(pair_mask[:, None] > 0, per_pair_scores, -jnp.inf)
+    k2 = min(topk_per_seg, p * k1)
+    flat_scores, flat_idx = jax.lax.top_k(masked.reshape(-1), k2)
+    pair_idx = flat_idx // k1
+    pred_idx = per_pair_preds.reshape(-1)[flat_idx]
+    valid = jnp.isfinite(flat_scores)
+    return (
+        jnp.where(valid, flat_scores, 0.0),
+        pair_idx.astype(jnp.int32),
+        pred_idx.astype(jnp.int32),
+        valid,
+    )
+
+
+def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
+    """Run relation prediction over every test segment.
+
+    Returns {(vid, fstart, fend): (predictions, iou, trackid)}.
+    """
+    loader = BucketedLoader(
+        dataset,
+        buckets=cfg.BUCKETS.NUM_TRACKLETS,
+        batch_size=cfg.DATASET.TEST_BATCH_SIZE,
+        feature_dim=cfg.PREDICT.FEATURE_DIM,
+        num_predicates=cfg.PREDICT.PREDICATE_NUM,
+        num_objects=cfg.PREDICT.OBJECT_NUM,
+        max_iter=None,
+        shuffle=False,
+    )
+    topk_per_pair = cfg.PREDICT.TOPK_PER_PAIR
+    topk_per_seg = cfg.PREDICT.TOPK_PER_SEG
+
+    @jax.jit
+    def forward(batch):
+        out = model.apply({"params": params}, batch)
+        return jax.nn.sigmoid(out["rel_logits"])
+
+    short_term_relations: Dict[Tuple[str, int, int], tuple] = {}
+    seen = set()
+    for bucket, batch, indices in loader:
+        rel_prob = forward(batch)
+        for b, index in enumerate(indices):
+            if index in seen:  # epoch-end padding repeats segments
+                continue
+            seen.add(index)
+            record = dataset.load_segment(dataset.index.index(index))
+            if record.num_proposals <= 1:
+                if logger:
+                    logger.info(f"No relation exists in video segment {index}")
+                continue
+            scores, pair_idx, pred_idx, valid = _select_topk(
+                rel_prob[b], jnp.asarray(batch["pair_mask"][b]),
+                topk_per_pair, topk_per_seg,
+            )
+            scores = np.asarray(scores)
+            pair_idx = np.asarray(pair_idx)
+            pred_idx = np.asarray(pred_idx)
+            valid = np.asarray(valid)
+
+            pairs = batch["pairs"][b]            # (P, 2) tracklet ids
+            cls_logits = record.cls_logits       # (N, C)
+            obj_labels = (
+                np.argmax(cls_logits, axis=1)
+                if cls_logits.size
+                else np.zeros(record.num_proposals, np.int64)
+            )
+            predictions = []
+            for s, pi, ri, ok in zip(scores, pair_idx, pred_idx, valid):
+                if not ok:
+                    continue
+                s_tid, o_tid = int(pairs[pi, 0]), int(pairs[pi, 1])
+                triplet = np.array(
+                    [int(obj_labels[s_tid]), int(ri), int(obj_labels[o_tid])]
+                )
+                predictions.append(
+                    (np.float32(s), triplet, np.array([s_tid, o_tid]))
+                )
+            short_term_relations[index] = (
+                predictions,
+                np.asarray(record.iou),
+                np.asarray(record.trackid),
+            )
+    return short_term_relations
+
+
+def predict(cfg, basedata, logger=None):
+    """Checkpoint-loading entry point mirroring predict.py:14-41."""
+    if logger is None:
+        logger = setup_logger("detect", save_dir="logs")
+    model = build_model(cfg)
+    dataset = SegmentDataset(cfg, basedata, phase="test")
+    assert len(dataset) > 0, "no test segments with cached features found"
+
+    # template init for checkpoint restore
+    bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
+    p = bucket * (bucket - 1)
+    example = {
+        "feats": np.zeros((1, p, cfg.PREDICT.FEATURE_DIM), np.float32),
+        "pairs": np.zeros((1, p, 2), np.int32),
+        "labels": np.zeros((1, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
+        "pair_mask": np.zeros((1, p), np.float32),
+        "cls_logits": np.zeros((1, bucket, cfg.PREDICT.OBJECT_NUM), np.float32),
+        "track_mask": np.zeros((1, bucket), np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), example)["params"]
+    ckpt = os.path.join(get_model_path(), cfg.ETC.MODEL_DUMP_FILE)
+    restored = load_checkpoint(ckpt, params)
+    logger.info(f"=> checkpoint succesfully loaded from {ckpt}")
+    logger.info(f"=> iter: {restored['step']}")
+    logger.info(f"=> average loss: {restored['loss']:.4f}")
+
+    logger.info("predicting short-term visual relation...")
+    return predict_segments(cfg, model, restored["params"], dataset, logger)

@@ -1,0 +1,4 @@
+from tspn_tpu.solver.optim import (  # noqa: F401
+    build_optimizer,
+    warmup_multistep_schedule,
+)

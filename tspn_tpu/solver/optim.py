@@ -1,0 +1,120 @@
+"""Optimizer / LR-schedule factory (optax).
+
+Semantics-parity rebuild of /root/reference/lib/solver/build.py and
+lr_scheduler.py:10-52 on optax:
+
+* per-parameter groups: bias parameters train at BASE_LR *
+  BIAS_LR_FACTOR with WEIGHT_DECAY_BIAS; all others at BASE_LR with
+  WEIGHT_DECAY (build.py:8-18). In optax this is a bias-mask scale plus
+  masked additive L2 (torch-style coupled weight decay: added to the
+  gradient BEFORE the Adam moments, matching torch.optim.Adam).
+* "warmup_multi": linear/constant warmup times gamma^bisect(milestones)
+  stepped decay (lr_scheduler.py:40-52).
+* "multi": plain MultiStepLR. ("plateau" needs a loss feedback loop and
+  is provided via ReduceOnPlateauState in the train loop.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import optax
+
+
+def warmup_multistep_schedule(
+    base_lr: float,
+    milestones: Sequence[int],
+    gamma: float = 0.1,
+    warmup_factor: float = 1.0 / 3,
+    warmup_iters: int = 500,
+    warmup_method: str = "linear",
+) -> optax.Schedule:
+    """lr(t) = base_lr * warmup(t) * gamma^{#milestones <= t}."""
+    milestones_arr = jnp.asarray(sorted(milestones), dtype=jnp.float32)
+
+    def schedule(count):
+        t = jnp.asarray(count, dtype=jnp.float32)
+        if warmup_method == "constant":
+            wf = jnp.where(t < warmup_iters, warmup_factor, 1.0)
+        elif warmup_method == "linear":
+            alpha = t / max(warmup_iters, 1)
+            wf = jnp.where(t < warmup_iters, warmup_factor * (1 - alpha) + alpha, 1.0)
+        else:
+            raise ValueError(f"Unknown warmup method {warmup_method!r}")
+        decay = gamma ** jnp.sum(milestones_arr <= t)
+        return base_lr * wf * decay
+
+    return schedule
+
+
+def multistep_schedule(base_lr: float, milestones: Sequence[int], gamma: float):
+    milestones_arr = jnp.asarray(sorted(milestones), dtype=jnp.float32)
+
+    def schedule(count):
+        t = jnp.asarray(count, dtype=jnp.float32)
+        return base_lr * gamma ** jnp.sum(milestones_arr <= t)
+
+    return schedule
+
+
+def _is_bias(path) -> bool:
+    """flax Dense/Conv bias leaves are named 'bias' ('b' kept for safety)."""
+    return any(getattr(k, "key", None) in ("bias", "b") for k in path)
+
+
+def build_optimizer(cfg, params) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """(optimizer, schedule) from the SOLVER config subtree."""
+    solver = cfg.SOLVER
+    sched_type = solver.SCHEDULER.TYPE
+    if sched_type == "warmup_multi":
+        schedule = warmup_multistep_schedule(
+            solver.BASE_LR,
+            solver.SCHEDULER.MILESTONES,
+            solver.SCHEDULER.GAMMA,
+            solver.SCHEDULER.WARMUP_FACTOR,
+            solver.SCHEDULER.WARMUP_ITERS,
+            solver.SCHEDULER.WARMUP_METHOD,
+        )
+    elif sched_type == "multi":
+        schedule = multistep_schedule(
+            solver.BASE_LR, solver.SCHEDULER.MILESTONES, solver.SCHEDULER.GAMMA
+        )
+    elif sched_type == "plateau":
+        # constant base; the train loop owns the plateau reduction factor
+        schedule = lambda count: jnp.asarray(solver.BASE_LR)  # noqa: E731
+    else:
+        raise ValueError(f"{sched_type} is not defined")
+
+    import jax
+
+    bias_mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: _is_bias(path), params
+    )
+    nonbias_mask = jax.tree_util.tree_map(lambda b: not b, bias_mask)
+
+    transforms = []
+    # torch-style coupled L2: grad += wd * param, before the moments
+    if solver.WEIGHT_DECAY:
+        transforms.append(
+            optax.masked(optax.add_decayed_weights(solver.WEIGHT_DECAY), nonbias_mask)
+        )
+    if solver.WEIGHT_DECAY_BIAS:
+        transforms.append(
+            optax.masked(optax.add_decayed_weights(solver.WEIGHT_DECAY_BIAS), bias_mask)
+        )
+
+    opt_type = solver.OPTIMIZER.TYPE
+    if opt_type == "adam":
+        transforms.append(optax.scale_by_adam())
+    elif opt_type == "sgd":
+        transforms.append(optax.trace(decay=solver.OPTIMIZER.MOMENTUM))
+    else:
+        raise ValueError(f"{opt_type} is not defined")
+
+    transforms.append(
+        optax.masked(optax.scale(float(solver.BIAS_LR_FACTOR)), bias_mask)
+    )
+    transforms.append(optax.scale_by_schedule(schedule))
+    transforms.append(optax.scale(-1.0))
+    return optax.chain(*transforms), schedule
