@@ -1,0 +1,77 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from tspn_tpu.ops.assignment import auction_assignment, gated_assignment
+
+
+def _total_cost(cost, row_to_col):
+    return sum(
+        cost[i, c] for i, c in enumerate(row_to_col) if c >= 0
+    )
+
+
+def test_matches_scipy_square(rng):
+    for _ in range(10):
+        n = 8
+        cost = rng.rand(n, n).astype(np.float32)
+        got = np.asarray(
+            auction_assignment(
+                jnp.asarray(cost), jnp.ones(n, bool), jnp.ones(n, bool)
+            )
+        )
+        assert np.all(got >= 0)
+        assert len(set(got.tolist())) == n  # a permutation
+        r, c = linear_sum_assignment(cost)
+        assert _total_cost(cost, got) == pytest.approx(
+            cost[r, c].sum(), abs=1e-3
+        )
+
+
+def test_matches_scipy_rectangular(rng):
+    for _ in range(5):
+        cost = rng.rand(4, 9).astype(np.float32)
+        got = np.asarray(
+            auction_assignment(
+                jnp.asarray(cost), jnp.ones(4, bool), jnp.ones(9, bool)
+            )
+        )
+        assert np.all(got >= 0)
+        r, c = linear_sum_assignment(cost)
+        assert _total_cost(cost, got) == pytest.approx(cost[r, c].sum(), abs=1e-3)
+
+
+def test_respects_validity_masks(rng):
+    cost = rng.rand(5, 5).astype(np.float32)
+    row_valid = jnp.asarray([True, True, False, True, False])
+    col_valid = jnp.asarray([True, False, True, True, True])
+    got = np.asarray(auction_assignment(jnp.asarray(cost), row_valid, col_valid))
+    assert got[2] == -1 and got[4] == -1
+    assert 1 not in got.tolist()
+    assigned = [c for c in got if c >= 0]
+    assert len(assigned) == len(set(assigned)) == 3
+
+
+def test_more_rows_than_cols(rng):
+    cost = rng.rand(6, 3).astype(np.float32)
+    got = np.asarray(
+        auction_assignment(jnp.asarray(cost), jnp.ones(6, bool), jnp.ones(3, bool))
+    )
+    assigned = [c for c in got if c >= 0]
+    assert len(assigned) == 3
+    assert len(set(assigned)) == 3
+    r, c = linear_sum_assignment(cost)
+    assert _total_cost(cost, got) == pytest.approx(cost[r, c].sum(), abs=1e-3)
+
+
+def test_gated_assignment_drops_expensive_matches():
+    cost = jnp.asarray(
+        [[0.1, 5.0],
+         [5.0, 9.0]]
+    )
+    got = np.asarray(
+        gated_assignment(cost, jnp.ones(2, bool), jnp.ones(2, bool), max_cost=1.0)
+    )
+    assert got[0] == 0
+    assert got[1] == -1  # 9.0 > max_cost -> unmatched even though assigned

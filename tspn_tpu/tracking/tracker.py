@@ -1,0 +1,308 @@
+"""Multi-object tracker as one fixed-shape device program.
+
+DeepSORT re-architected for XLA: where the reference steps Python
+objects per frame (/root/reference/deep_sort/deep_sort/tracker.py:10-138,
+track.py:4-166), this runs a `lax.scan` over the whole video with a
+fixed-capacity array of track slots. Per-frame semantics match the
+reference:
+
+  * Kalman predict for every live slot, age/time_since_update bookkeeping
+  * matching cascade: confirmed tracks matched by appearance cost
+    (min cosine distance to a per-track feature gallery,
+    nn_matching.py:99-177) gated at the Mahalanobis 0.95 chi-square
+    threshold (linear_assignment.py:145-191), level by level of
+    time_since_update (linear_assignment.py:79-142) — levels with no
+    tracks are skipped via lax.cond, so typical frames solve 1-2
+    assignments
+  * IoU matching for unconfirmed tracks + just-missed confirmed tracks
+    (tracker.py:115-124, iou_matching.py:42-81)
+  * lifecycle: tentative -> confirmed after n_init hits; tentative miss
+    or time_since_update > max_age -> slot freed (track.py:147-166)
+  * feature gallery: ring buffer of the most recent `gallery_size`
+    appearance vectors per track (the reference trims its gallery to
+    `budget` most recent — nn_matching.py:141-156)
+
+Assignment is the on-device LAPJV solver (tspn_tpu.ops.assignment), so
+an entire video tracks in one jit call with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tspn_tpu.ops.assignment import gated_assignment
+from tspn_tpu.tracking import kalman
+
+INFTY_COST = 1e5
+
+# track slot states
+EMPTY, TENTATIVE, CONFIRMED = 0, 1, 2
+
+
+class TrackerConfig(NamedTuple):
+    max_iou_distance: float = 0.7
+    max_age: int = 30
+    n_init: int = 3
+    matching_threshold: float = 0.2  # max cosine distance
+    gallery_size: int = 16
+    max_tracks: int = 32
+    cascade_depth: int = 30  # == max_age in the reference
+
+
+class TrackerState(NamedTuple):
+    means: jnp.ndarray        # (K, 8)
+    covs: jnp.ndarray         # (K, 8, 8)
+    state: jnp.ndarray        # (K,) in {EMPTY, TENTATIVE, CONFIRMED}
+    track_id: jnp.ndarray     # (K,)
+    hits: jnp.ndarray         # (K,)
+    time_since_update: jnp.ndarray  # (K,)
+    gallery: jnp.ndarray      # (K, G, F) L2-normalized appearance vectors
+    gallery_count: jnp.ndarray  # (K,) total features ever written
+    next_id: jnp.ndarray      # ()
+
+
+def init_state(cfg: TrackerConfig, feature_dim: int) -> TrackerState:
+    k, g = cfg.max_tracks, cfg.gallery_size
+    return TrackerState(
+        means=jnp.zeros((k, 8)),
+        covs=jnp.tile(jnp.eye(8)[None], (k, 1, 1)),
+        state=jnp.zeros((k,), jnp.int32),
+        track_id=jnp.zeros((k,), jnp.int32),
+        hits=jnp.zeros((k,), jnp.int32),
+        time_since_update=jnp.zeros((k,), jnp.int32),
+        gallery=jnp.zeros((k, g, feature_dim)),
+        gallery_count=jnp.zeros((k,), jnp.int32),
+        next_id=jnp.asarray(1, jnp.int32),
+    )
+
+
+def _normalize(x, axis=-1):
+    return x / jnp.clip(jnp.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
+
+
+def _appearance_cost(st: TrackerState, det_features: jnp.ndarray) -> jnp.ndarray:
+    """(K, D) min cosine distance of each detection to each track gallery."""
+    g = _normalize(st.gallery)  # (K, G, F)
+    f = _normalize(det_features)  # (D, F)
+    sim = jnp.einsum("kgf,df->kgd", g, f)
+    slot_valid = (
+        jnp.arange(g.shape[1])[None, :] < jnp.minimum(st.gallery_count, g.shape[1])[:, None]
+    )  # (K, G)
+    sim = jnp.where(slot_valid[:, :, None], sim, -jnp.inf)
+    best = jnp.max(sim, axis=1)  # (K, D)
+    return jnp.where(jnp.isfinite(best), 1.0 - best, INFTY_COST)
+
+
+def _iou_cost(st: TrackerState, det_tlwh: jnp.ndarray) -> jnp.ndarray:
+    """(K, D) 1 - IoU between track boxes and detections
+    (iou_matching.py:42-81; no +1 pixel convention here, matching the
+    reference's tracker-side iou)."""
+    t = kalman.to_tlwh(st.means[:, :4])  # (K, 4)
+    a0 = t[:, None, :2]
+    a1 = t[:, None, :2] + t[:, None, 2:]
+    b0 = det_tlwh[None, :, :2]
+    b1 = det_tlwh[None, :, :2] + det_tlwh[None, :, 2:]
+    wh = jnp.clip(jnp.minimum(a1, b1) - jnp.maximum(a0, b0), 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_t = (t[:, 2] * t[:, 3])[:, None]
+    area_d = (det_tlwh[:, 2] * det_tlwh[:, 3])[None, :]
+    iou = inter / jnp.clip(area_t + area_d - inter, 1e-9)
+    return 1.0 - iou
+
+
+def _assign_subset(cost, row_mask, col_mask, max_cost):
+    """Gated assignment over masked rows/cols; -1 rows elsewhere."""
+    masked_cost = jnp.where(
+        row_mask[:, None] & col_mask[None, :], cost, INFTY_COST * 10
+    )
+    return gated_assignment(masked_cost, row_mask, col_mask, max_cost)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def tracker_step(
+    cfg: TrackerConfig,
+    st: TrackerState,
+    det_tlwh: jnp.ndarray,     # (D, 4)
+    det_features: jnp.ndarray,  # (D, F)
+    det_mask: jnp.ndarray,      # (D,) bool
+):
+    """One frame: predict + cascade/IoU matching + lifecycle update.
+
+    Returns (new_state, frame_output) where frame_output carries every
+    slot's tlwh box, id, and visibility (confirmed & updated this frame,
+    the condition deep_sort_app.py:194-199 uses for result rows).
+    """
+    k = cfg.max_tracks
+    d = det_tlwh.shape[0]
+    live = st.state > EMPTY
+
+    # ---- predict
+    means, covs = kalman.predict(st.means, st.covs)
+    means = jnp.where(live[:, None], means, st.means)
+    covs = jnp.where(live[:, None, None], covs, st.covs)
+    tsu = jnp.where(live, st.time_since_update + 1, st.time_since_update)
+    st = st._replace(means=means, covs=covs, time_since_update=tsu)
+
+    det_xyah = kalman.to_xyah(det_tlwh)
+
+    # ---- matching cascade over time_since_update levels (appearance)
+    app_cost = _appearance_cost(st, det_features)
+    maha = kalman.gating_distance(st.means, st.covs, det_xyah)
+    gate = maha > kalman.CHI2INV95[4]
+    app_cost = jnp.where(gate, INFTY_COST, app_cost)
+
+    matched_det_of_track = jnp.full((k,), -1, jnp.int32)
+    det_free = det_mask
+
+    def cascade_level(level, carry):
+        matched_det_of_track, det_free = carry
+        rows = (
+            (st.state == CONFIRMED)
+            & (st.time_since_update == 1 + level)
+            & (matched_det_of_track < 0)
+        )
+
+        def run(args):
+            matched_det_of_track, det_free = args
+            r2c = _assign_subset(app_cost, rows, det_free, cfg.matching_threshold)
+            matched_det_of_track = jnp.where(r2c >= 0, r2c, matched_det_of_track)
+            taken = jnp.zeros((d,), bool).at[jnp.clip(r2c, 0)].max(r2c >= 0)
+            return matched_det_of_track, det_free & ~taken
+
+        return jax.lax.cond(
+            jnp.any(rows) & jnp.any(det_free),
+            run,
+            lambda a: a,
+            (matched_det_of_track, det_free),
+        )
+
+    matched_det_of_track, det_free = jax.lax.fori_loop(
+        0, cfg.cascade_depth, cascade_level, (matched_det_of_track, det_free)
+    )
+
+    # ---- IoU matching: unconfirmed + just-missed confirmed
+    iou_rows = (
+        ((st.state == TENTATIVE) | ((st.state == CONFIRMED) & (st.time_since_update == 1)))
+        & (matched_det_of_track < 0)
+        & live
+    )
+    iou_cost = _iou_cost(st, det_tlwh)
+    # tracks not updated last frame are ineligible (iou_matching.py:62-64)
+    iou_cost = jnp.where(
+        (st.time_since_update > 1)[:, None], INFTY_COST, iou_cost
+    )
+    r2c = jax.lax.cond(
+        jnp.any(iou_rows) & jnp.any(det_free),
+        lambda: _assign_subset(iou_cost, iou_rows, det_free, cfg.max_iou_distance),
+        lambda: jnp.full((k,), -1, jnp.int32),
+    )
+    matched_det_of_track = jnp.where(r2c >= 0, r2c, matched_det_of_track)
+    taken = jnp.zeros((d,), bool).at[jnp.clip(r2c, 0)].max(r2c >= 0)
+    det_free = det_free & ~taken
+
+    # ---- update matched tracks
+    matched = matched_det_of_track >= 0
+    det_idx = jnp.clip(matched_det_of_track, 0)
+    upd_means, upd_covs = kalman.update(st.means, st.covs, det_xyah[det_idx])
+    means = jnp.where(matched[:, None], upd_means, st.means)
+    covs = jnp.where(matched[:, None, None], upd_covs, st.covs)
+    hits = jnp.where(matched, st.hits + 1, st.hits)
+    tsu = jnp.where(matched, 0, st.time_since_update)
+    state = jnp.where(
+        matched & (st.state == TENTATIVE) & (hits >= cfg.n_init),
+        CONFIRMED,
+        st.state,
+    )
+
+    # feature gallery ring-buffer append for matched tracks
+    slot = st.gallery_count % cfg.gallery_size
+    new_feat = _normalize(det_features[det_idx])  # (K, F)
+    gallery = jnp.where(
+        matched[:, None, None],
+        st.gallery.at[jnp.arange(k), slot].set(new_feat),
+        st.gallery,
+    )
+    gallery_count = jnp.where(matched, st.gallery_count + 1, st.gallery_count)
+
+    # ---- mark missed: tentative miss or stale confirmed -> free slot
+    missed = live & ~matched
+    delete = missed & (
+        (st.state == TENTATIVE) | (tsu > cfg.max_age)
+    )
+    state = jnp.where(delete, EMPTY, state)
+    gallery_count = jnp.where(delete, 0, gallery_count)
+
+    st = st._replace(
+        means=means, covs=covs, state=state, hits=hits,
+        time_since_update=tsu, gallery=gallery, gallery_count=gallery_count,
+    )
+
+    # ---- initiate new tracks for unmatched detections in free slots
+    free_slot = st.state == EMPTY
+    # rank free slots and unmatched detections; pair them in order
+    slot_rank = jnp.where(free_slot, jnp.cumsum(free_slot) - 1, k + 1)
+    det_rank = jnp.where(det_free, jnp.cumsum(det_free) - 1, k + 2)
+    # slot with rank r takes detection with rank r
+    take = slot_rank[:, None] == det_rank[None, :]  # (K, D)
+    takes_det = jnp.any(take, axis=1)
+    which_det = jnp.argmax(take, axis=1)
+
+    init_means, init_covs = kalman.initiate(det_xyah[which_det])
+    means = jnp.where(takes_det[:, None], init_means, st.means)
+    covs = jnp.where(takes_det[:, None, None], init_covs, st.covs)
+    state = jnp.where(takes_det, TENTATIVE, st.state)
+    hits = jnp.where(takes_det, 1, st.hits)
+    tsu = jnp.where(takes_det, 0, st.time_since_update)
+    new_ids = st.next_id + jnp.where(
+        takes_det, jnp.cumsum(takes_det) - 1, 0
+    ).astype(jnp.int32)
+    track_id = jnp.where(takes_det, new_ids, st.track_id)
+    next_id = st.next_id + jnp.sum(takes_det).astype(jnp.int32)
+    init_feat = _normalize(det_features[which_det])
+    gallery = jnp.where(
+        takes_det[:, None, None],
+        jnp.zeros_like(st.gallery).at[jnp.arange(k), 0].set(init_feat),
+        st.gallery,
+    )
+    gallery_count = jnp.where(takes_det, 1, st.gallery_count)
+
+    st = st._replace(
+        means=means, covs=covs, state=state, track_id=track_id, hits=hits,
+        time_since_update=tsu, gallery=gallery, gallery_count=gallery_count,
+        next_id=next_id,
+    )
+
+    out = {
+        "tlwh": kalman.to_tlwh(st.means[:, :4]),
+        "track_id": st.track_id,
+        # result-row condition of deep_sort_app.py:194-199: confirmed and
+        # updated this frame or missed at most once
+        "visible": (st.state == CONFIRMED) & (st.time_since_update <= 1),
+        "state": st.state,
+    }
+    return st, out
+
+
+def track_video(
+    cfg: TrackerConfig,
+    det_tlwh: jnp.ndarray,      # (T, D, 4)
+    det_features: jnp.ndarray,  # (T, D, F)
+    det_mask: jnp.ndarray,      # (T, D) bool
+):
+    """Track a whole video in one device program (scan over frames).
+
+    Returns per-frame outputs stacked over T: tlwh (T, K, 4),
+    track_id (T, K), visible (T, K).
+    """
+    st = init_state(cfg, det_features.shape[-1])
+
+    def step(st, frame):
+        tlwh, feats, mask = frame
+        return tracker_step(cfg, st, tlwh, feats, mask)
+
+    _, outs = jax.lax.scan(step, st, (det_tlwh, det_features, det_mask))
+    return outs
