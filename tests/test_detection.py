@@ -1,0 +1,173 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tspn_tpu.detection.rcnn import DetectionConfig, FasterRCNN
+from tspn_tpu.detection.rpn import (
+    make_anchors,
+    match_anchors_to_gt,
+    sample_targets,
+    select_proposals,
+)
+from tspn_tpu.ops.boxes import anchor_grid, clip_boxes, decode_boxes, encode_boxes
+
+TINY = DetectionConfig(
+    num_classes=3,
+    depth=26,
+    anchor_sizes=(32, 64),
+    anchor_ratios=(0.5, 1.0, 2.0),
+    pre_nms_topk_train=200,
+    post_nms_topk_train=64,
+    pre_nms_topk_test=200,
+    post_nms_topk_test=64,
+    roi_batch_size=32,
+    max_detections=16,
+)
+
+
+def test_anchor_grid_layout():
+    a = anchor_grid(2, 3, 16, (32,), (1.0,))
+    assert a.shape == (6, 4)
+    # first anchor centered at (8, 8) with size 32
+    assert np.allclose(a[0], [8 - 16, 8 - 16, 8 + 16, 8 + 16])
+    # row-major over (y, x): second anchor at x-center 24
+    assert np.allclose(a[1][0], 24 - 16)
+
+
+def test_encode_decode_roundtrip(rng):
+    anchors = jnp.asarray(rng.rand(10, 2) * 100)
+    anchors = jnp.concatenate([anchors, anchors + rng.rand(10, 2) * 50 + 5], axis=1)
+    gt = jnp.asarray(rng.rand(10, 2) * 100)
+    gt = jnp.concatenate([gt, gt + rng.rand(10, 2) * 50 + 5], axis=1)
+    rec = decode_boxes(encode_boxes(gt, anchors), anchors)
+    assert np.allclose(np.asarray(rec), np.asarray(gt), atol=1e-2)
+
+
+def test_clip_boxes():
+    b = jnp.asarray([[-5.0, -5.0, 200.0, 50.0]])
+    out = np.asarray(clip_boxes(b, 100, 150))
+    assert out.tolist() == [[0.0, 0.0, 150.0, 50.0]]
+
+
+def test_match_anchors_fg_bg_forcing():
+    anchors = jnp.asarray(
+        [[0.0, 0, 32, 32], [100, 100, 132, 132], [14, 14, 18, 18]]
+    )
+    gt = jnp.asarray([[0.0, 0, 32, 32], [0, 0, 0, 0]])
+    mask = jnp.asarray([1.0, 0.0])
+    t = match_anchors_to_gt(anchors, gt, mask)
+    labels = np.asarray(t.labels)
+    assert labels[0] == 1.0   # IoU 1
+    assert labels[1] == 0.0   # far
+    # tiny anchor inside gt has low IoU -> bg, but it is not gt's best
+
+
+def test_sample_targets_balance():
+    labels = jnp.asarray([1.0] * 10 + [0.0] * 100 + [-1.0] * 5)
+    w = np.asarray(sample_targets(labels, 32, 0.5))
+    assert w.sum() == 32
+    assert w[:10].sum() == 10  # all fg kept (10 < 16)
+    assert w[110:].sum() == 0  # ignored never sampled
+
+
+def test_select_proposals_shapes(rng):
+    n = 50
+    logits = jnp.asarray(rng.randn(n).astype(np.float32))
+    anchors = jnp.asarray(rng.rand(n, 2) * 80)
+    anchors = jnp.concatenate([anchors, anchors + 20], axis=1)
+    deltas = jnp.asarray(rng.randn(n, 4).astype(np.float32) * 0.1)
+    props = select_proposals(logits, deltas, anchors, (128, 128), 40, 16)
+    assert props.boxes.shape == (16, 4)
+    assert props.mask.dtype == bool
+    b = np.asarray(props.boxes)
+    assert (b[:, 0] >= 0).all() and (b[:, 2] <= 128).all()
+
+
+@pytest.fixture(scope="module")
+def tiny_scene():
+    """One 128x128 image with two colored rectangles on black."""
+    img = np.zeros((128, 128, 3), np.float32)
+    img[20:60, 10:50, 0] = 1.0     # class 0: red box
+    img[70:120, 60:110, 1] = 1.0   # class 1: green box
+    gt_boxes = np.array(
+        [[10, 20, 50, 60], [60, 70, 110, 120]] + [[0, 0, 0, 0]] * 6, np.float32
+    )
+    gt_classes = np.array([0, 1] + [0] * 6, np.int32)
+    gt_mask = np.array([1, 1] + [0] * 6, np.float32)
+    return img, gt_boxes, gt_classes, gt_mask
+
+
+def test_faster_rcnn_train_losses_finite(tiny_scene):
+    img, gt_boxes, gt_classes, gt_mask = tiny_scene
+    model = FasterRCNN(cfg=TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(gt_boxes),
+        jnp.asarray(gt_classes), jnp.asarray(gt_mask),
+    )["params"]
+    losses = model.apply(
+        {"params": params}, jnp.asarray(img), jnp.asarray(gt_boxes),
+        jnp.asarray(gt_classes), jnp.asarray(gt_mask),
+    )
+    assert set(losses) == {"loss_rpn_obj", "loss_rpn_box", "loss_cls", "loss_box"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_faster_rcnn_overfits_single_image(tiny_scene):
+    """End-to-end learning check: training on one scene must localize it."""
+    import optax
+
+    img, gt_boxes, gt_classes, gt_mask = tiny_scene
+    model = FasterRCNN(cfg=TINY)
+    args = (
+        jnp.asarray(img), jnp.asarray(gt_boxes),
+        jnp.asarray(gt_classes), jnp.asarray(gt_mask),
+    )
+    params = model.init(jax.random.PRNGKey(0), *args)["params"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            losses = model.apply({"params": p}, *args)
+            return sum(losses.values()), losses
+
+        (tot, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, tot
+
+    first = None
+    for i in range(60):
+        params, opt_state, tot = step(params, opt_state)
+        if first is None:
+            first = float(tot)
+    assert float(tot) < first * 0.6
+
+    det = model.apply({"params": params}, jnp.asarray(img), method=FasterRCNN.detect)
+    boxes = np.asarray(det["boxes"])
+    scores = np.asarray(det["scores"])
+    mask = np.asarray(det["mask"])
+    assert mask.any()
+    # top detection overlaps one of the GT boxes
+    top = boxes[np.argmax(scores)]
+    from tspn_tpu.ops.nms import box_iou
+
+    ious = np.asarray(box_iou(jnp.asarray(top[None]), jnp.asarray(gt_boxes[:2])))
+    assert ious.max() > 0.3, (top, ious)
+
+
+def test_detect_output_contract(tiny_scene):
+    img, *_ = tiny_scene
+    model = FasterRCNN(cfg=TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(img),
+        jnp.zeros((8, 4)), jnp.zeros(8, jnp.int32), jnp.zeros(8),
+    )["params"]
+    det = model.apply({"params": params}, jnp.asarray(img), method=FasterRCNN.detect)
+    assert det["boxes"].shape == (TINY.max_detections, 4)
+    assert det["scores"].shape == (TINY.max_detections,)
+    assert det["classes"].shape == (TINY.max_detections,)
+    cls = np.asarray(det["classes"])
+    assert ((cls >= 0) & (cls < TINY.num_classes)).all()

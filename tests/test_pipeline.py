@@ -1,0 +1,108 @@
+"""Detections -> tracks -> segment artifacts -> relation data path."""
+
+import numpy as np
+import pytest
+
+from tspn_tpu.data.segments import set_output_dir
+from tspn_tpu.data.vrdataset import SegmentDataset
+from tspn_tpu.pipeline import (
+    extract_video_artifacts,
+    gt_segment_tracklets,
+    tracks_from_detections,
+)
+
+
+@pytest.fixture()
+def fake_detections(synthetic_dataset, rng):
+    """Per-frame 'detections' = GT boxes + jitter + classeme scores."""
+    vid = synthetic_dataset.get_index("train")[0]
+    anno = synthetic_dataset.get_anno(vid)
+    t = anno["frame_count"]
+    d_max = 8
+    num_classes = 35
+    boxes = np.zeros((t, d_max, 4), np.float32)
+    scores = np.zeros((t, d_max), np.float32)
+    classes = np.zeros((t, d_max), np.int64)
+    classeme = np.zeros((t, d_max, num_classes), np.float32)
+    mask = np.zeros((t, d_max), bool)
+    tid2cls = {
+        o["tid"]: synthetic_dataset.get_object_id(o["category"])
+        for o in anno["subject/objects"]
+    }
+    for f, frame in enumerate(anno["trajectories"]):
+        for i, roi in enumerate(frame[:d_max]):
+            b = roi["bbox"]
+            boxes[f, i] = [b["xmin"], b["ymin"], b["xmax"], b["ymax"]]
+            boxes[f, i] += rng.normal(0, 1.0, 4)
+            cid = tid2cls[roi["tid"]]
+            scores[f, i] = 0.9
+            classes[f, i] = cid
+            classeme[f, i, cid] = 5.0
+            classeme[f, i] += rng.normal(0, 0.1, num_classes)
+            mask[f, i] = True
+    return vid, {
+        "boxes": boxes, "scores": scores, "classes": classes,
+        "classeme": classeme, "mask": mask,
+    }
+
+
+def test_tracks_from_detections_stable(fake_detections):
+    vid, dets = fake_detections
+    outs = tracks_from_detections(dets)
+    visible = outs["visible"]
+    ids = outs["track_id"]
+    # three objects, all confirmed and stable after warmup
+    assert visible[10:].sum(axis=1).min() == 3
+    final = set(ids[-1][visible[-1]].tolist())
+    assert len(final) == 3
+    for t in range(10, visible.shape[0]):
+        assert set(ids[t][visible[t]].tolist()) == final
+
+
+def test_extract_video_artifacts_feeds_relation_stage(
+    fake_detections, synthetic_dataset, cfg, tmp_path
+):
+    vid, dets = fake_detections
+    set_output_dir(str(tmp_path))
+    outs = tracks_from_detections(dets)
+    # per-slot classeme series: reuse detection classemes via nearest slot
+    t, k = outs["track_id"].shape
+    classemes = np.zeros((t, k, 35), np.float32)
+    for f in range(t):
+        for slot in range(k):
+            if outs["visible"][f, slot]:
+                # nearest detection to the track box
+                tb = outs["tlwh"][f, slot]
+                db = dets["boxes"][f]
+                centers = (db[:, :2] + db[:, 2:]) / 2
+                tc = tb[:2] + tb[2:] / 2
+                j = np.argmin(((centers - tc) ** 2).sum(-1))
+                classemes[f, slot] = dets["classeme"][f, j]
+    n = extract_video_artifacts(
+        synthetic_dataset, vid, outs, classemes, include_gt=True
+    )
+    assert n > 0
+
+    # the standard relation data path must consume these artifacts
+    ds = SegmentDataset(cfg, synthetic_dataset, phase="train")
+    produced = [ix for ix in ds.index if ix[0] == vid]
+    assert produced
+    rec = ds.load_segment(ds.index.index(produced[0]))
+    assert rec.num_proposals >= 2
+    assert rec.feats.shape[1] == cfg.PREDICT.FEATURE_DIM
+    # jittered GT proposals must match GT -> positive labels exist somewhere
+    total_pos = 0
+    for ix in produced:
+        r = ds.load_segment(ds.index.index(ix))
+        total_pos += (r.labels.sum(axis=1) > 0).sum()
+    assert total_pos > 0
+
+
+def test_gt_segment_tracklets(synthetic_dataset):
+    vid = synthetic_dataset.get_index("train")[0]
+    gts = gt_segment_tracklets(synthetic_dataset, vid, 0, 30, 35)
+    assert len(gts) == 3
+    for g in gts:
+        assert g.rois.shape == (30, 4)
+        assert g.gt_trackid >= 0
+        assert np.argmax(g.classeme) == g.category

@@ -1,0 +1,86 @@
+import jax.numpy as jnp
+import numpy as np
+
+
+from tspn_tpu.ops.roi_align import roi_align
+
+
+def _oracle_roi_align(feat, boxes, output_size, sampling_ratio):
+    """Direct per-sample bilinear oracle (aligned=True convention)."""
+    h, w, c = feat.shape
+    s = sampling_ratio
+    out = np.zeros((len(boxes), output_size, output_size, c), np.float64)
+
+    def sample(y, x):
+        if y <= -1.0 or y >= h or x <= -1.0 or x >= w:
+            return np.zeros(c)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        fy, fx = y - y0, x - x0
+
+        def at(i, j, ok):
+            if not ok:
+                return np.zeros(c)
+            return feat[min(max(i, 0), h - 1), min(max(j, 0), w - 1)]
+
+        # zero-weight out-of-range taps like torchvision: clamp indices,
+        # weights from frac
+        v00 = at(y0, x0, True)
+        v01 = at(y0, x0 + 1, True)
+        v10 = at(y0 + 1, x0, True)
+        v11 = at(y0 + 1, x0 + 1, True)
+        return (
+            v00 * (1 - fy) * (1 - fx)
+            + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx)
+            + v11 * fy * fx
+        )
+
+    for r, (bx0, by0, bx1, by1) in enumerate(boxes):
+        bw = max(bx1 - bx0, 1e-6)
+        bh = max(by1 - by0, 1e-6)
+        bx0, by0 = bx0 - 0.5, by0 - 0.5
+        for i in range(output_size):
+            for j in range(output_size):
+                acc = np.zeros(c)
+                for ky in range(s):
+                    for kx in range(s):
+                        y = by0 + (i + (ky + 0.5) / s) * bh / output_size
+                        x = bx0 + (j + (kx + 0.5) / s) * bw / output_size
+                        acc += sample(y, x)
+                out[r, i, j] = acc / (s * s)
+    return out
+
+
+def test_roi_align_matches_oracle(rng):
+    h, w, c = 20, 24, 2
+    feat = rng.rand(h, w, c).astype(np.float32)
+    # interior boxes (away from borders where clamp conventions differ)
+    xy = rng.rand(4, 2) * np.array([w - 12, h - 12]) + 2
+    wh = rng.rand(4, 2) * 6 + 3
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    for out_size, s in [(7, 2), (4, 1)]:
+        ours = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), out_size, s))
+        ref = _oracle_roi_align(feat, boxes, out_size, s)
+        assert np.allclose(ours, ref, atol=1e-4), np.abs(ours - ref).max()
+
+
+def test_roi_align_constant_feature_is_exact(rng):
+    """A constant feature map must pool to the constant everywhere the
+    box lies inside the map."""
+    feat = np.full((16, 16, 3), 2.5, np.float32)
+    boxes = np.array([[2.0, 2.0, 10.0, 12.0]], np.float32)
+    out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 2))
+    assert np.allclose(out, 2.5, atol=1e-5)
+
+
+def test_roi_align_linear_gradient(rng):
+    """Pooling a linear ramp recovers the ramp at bin centers."""
+    h, w = 32, 32
+    ramp = np.tile(np.arange(w, dtype=np.float32)[None, :, None], (h, 1, 1))
+    box = np.array([[4.0, 4.0, 20.0, 20.0]], np.float32)
+    out = np.asarray(roi_align(jnp.asarray(ramp), jnp.asarray(box), 4, 2))[0, :, :, 0]
+    # x bin centers: x0-0.5 + (i+0.5)*bw/4 with bw=16
+    centers = (4 - 0.5) + (np.arange(4) + 0.5) * 16 / 4
+    assert np.allclose(out[0], centers, atol=1e-3)
+    # constant along y
+    assert np.allclose(out, out[0][None, :], atol=1e-5)

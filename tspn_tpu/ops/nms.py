@@ -2,8 +2,13 @@
 
 Used by the tracking app (detection preprocessing, replacing
 /root/reference/deep_sort/application_util/preprocessing.py:6-73) and by
-the detection stage's RPN/RoI heads. Same structure as ops.temporal.
-nms_1d: score-sorted fori_loop over a precomputed IoU matrix.
+the detection stage's RPN/RoI heads.
+
+Formulation: loop over the top_k OUTPUT slots, each iteration picking
+the highest-scoring still-active candidate and deactivating everything
+it overlaps above the threshold — O(top_k * N) work instead of the
+naive O(N^3) candidate loop, with identical greedy semantics (a box
+suppressed by a kept box can never suppress others).
 """
 
 from __future__ import annotations
@@ -26,6 +31,20 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(union > 0, inter / union, 0.0)
 
 
+def _iou_one_to_many(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """(4,) vs (N, 4) -> (N,)."""
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    area = jnp.clip(box[2] - box[0], 0.0) * jnp.clip(box[3] - box[1], 0.0)
+    areas = jnp.clip(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.clip(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    union = area + areas - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
 @partial(jax.jit, static_argnames=("iou_threshold", "top_k"))
 def nms(
     boxes: jnp.ndarray,
@@ -41,21 +60,26 @@ def nms(
     """
     n = boxes.shape[0]
     top_k = min(top_k, n)
-    key = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
-    order = jnp.argsort(-key)
-    b = boxes[order]
-    valid_sorted = jnp.ones(n, bool) if valid is None else valid[order]
-    iou = box_iou(b, b)
+    active = jnp.ones(n, bool) if valid is None else jnp.asarray(valid, bool)
 
-    def body(i, keep):
-        suppressed = jnp.any(keep & (iou[i] > iou_threshold) & (jnp.arange(n) < i))
-        return keep.at[i].set(valid_sorted[i] & ~suppressed)
+    def body(s, carry):
+        active, out_idx, out_keep = carry
+        masked = jnp.where(active, scores, -jnp.inf)
+        i = jnp.argmax(masked).astype(jnp.int32)
+        ok = jnp.isfinite(masked[i])
+        out_idx = out_idx.at[s].set(jnp.where(ok, i, 0))
+        out_keep = out_keep.at[s].set(ok)
+        overlap = _iou_one_to_many(boxes[i], boxes) > iou_threshold
+        active = active & ~(overlap & ok) & (jnp.arange(n) != i)
+        return active, out_idx, out_keep
 
-    keep = jax.lax.fori_loop(0, n, body, jnp.zeros(n, bool))
-    rank = jnp.where(keep, jnp.cumsum(keep) - 1, n)
-    slots = jnp.argsort(rank)[:top_k]
-    keep_mask = keep[slots]
-    return jnp.where(keep_mask, order[slots], 0).astype(jnp.int32), keep_mask
+    _, out_idx, out_keep = jax.lax.fori_loop(
+        0,
+        top_k,
+        body,
+        (active, jnp.zeros(top_k, jnp.int32), jnp.zeros(top_k, bool)),
+    )
+    return out_idx, out_keep
 
 
 def nms_tlwh(boxes_tlwh, scores, iou_threshold, top_k, valid=None):

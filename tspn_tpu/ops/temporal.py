@@ -76,24 +76,30 @@ def nms_1d(
     """
     k = spans.shape[0]
     top_k = min(top_k, k)
-    score_key = scores if valid is None else jnp.where(valid, scores, -jnp.inf)
-    order = jnp.argsort(-score_key)
-    spans_sorted = spans[order]
-    valid_sorted = jnp.ones(k, dtype=bool) if valid is None else valid[order]
+    active = jnp.ones(k, bool) if valid is None else jnp.asarray(valid, bool)
+    lengths = jnp.clip(spans[:, 1] - spans[:, 0], 0.0)
 
-    iou = interval_iou(spans_sorted, spans_sorted)
+    def body(s, carry):
+        # each output slot picks the best remaining candidate and
+        # deactivates its overlaps — O(top_k * K), exact greedy
+        active, out_idx, out_keep = carry
+        masked = jnp.where(active, scores, -jnp.inf)
+        i = jnp.argmax(masked).astype(jnp.int32)
+        ok = jnp.isfinite(masked[i])
+        out_idx = out_idx.at[s].set(jnp.where(ok, i, 0))
+        out_keep = out_keep.at[s].set(ok)
+        inter = jnp.clip(
+            jnp.minimum(spans[i, 1], spans[:, 1])
+            - jnp.maximum(spans[i, 0], spans[:, 0]),
+            0.0,
+        )
+        union = lengths[i] + lengths - inter
+        iou_row = jnp.where(union > 0, inter / union, 0.0)
+        active = active & ~((iou_row > iou_threshold) & ok) & (jnp.arange(k) != i)
+        return active, out_idx, out_keep
 
-    def body(i, keep):
-        # keep candidate i iff valid and not suppressed by a kept j < i
-        suppressed = jnp.any(keep & (iou[i] > iou_threshold) & (jnp.arange(k) < i))
-        return keep.at[i].set(valid_sorted[i] & ~suppressed)
-
-    keep = jax.lax.fori_loop(0, k, body, jnp.zeros(k, dtype=bool))
-
-    # stable-compact kept indices to the front, then truncate to top_k
-    rank = jnp.where(keep, jnp.cumsum(keep) - 1, k)
-    slot_of = jnp.argsort(rank)  # kept candidates first, original order
-    kept_sorted_idx = slot_of[:top_k]
-    keep_mask = keep[kept_sorted_idx]
-    indices = jnp.where(keep_mask, order[kept_sorted_idx], 0)
-    return indices.astype(jnp.int32), keep_mask
+    _, indices, keep_mask = jax.lax.fori_loop(
+        0, top_k, body,
+        (active, jnp.zeros(top_k, jnp.int32), jnp.zeros(top_k, bool)),
+    )
+    return indices, keep_mask

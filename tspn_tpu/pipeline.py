@@ -1,0 +1,188 @@
+"""End-to-end preprocessing pipeline: frames -> detections -> tracklets
+-> per-segment relation artifacts.
+
+This is the stage the reference outsources to external tools (detectron2
+inference + deep_sort + the VidVRD-helper's unpublished feature code;
+SURVEY.md section 0 caveat 5). Here it is one in-process chain built
+from this framework's own components:
+
+  frames (image/<vid>/%05d.jpg, the vidvrd_to_image.sh layout)
+    -> FasterRCNN.detect per frame (batched on device)
+    -> lax.scan DeepSORT tracker over the whole video
+    -> per 30/15 segment: tracklets -> traj_cls JSON + relation h5
+
+The resulting artifacts feed SegmentDataset / train / predict unchanged
+— the same file contracts the reference consumes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tspn_tpu.data.annotations import AnnotationDataset
+from tspn_tpu.data.segments import segment_video
+from tspn_tpu.data.trajectory import Trajectory, save_trajectory_proposals
+from tspn_tpu.features.extraction import extract_segment_artifacts
+from tspn_tpu.tracking.tracker import TrackerConfig, track_video
+
+
+def detect_video_frames(
+    model, params, frames: np.ndarray, batch_size: int = 8
+) -> Dict[str, np.ndarray]:
+    """Run the detector over (T, H, W, 3) frames; returns stacked fixed-
+    size detections (T, Dmax, ...)."""
+    detect = jax.jit(
+        lambda p, im: jax.vmap(
+            lambda x: model.apply({"params": p}, x, method=type(model).detect)
+        )(im)
+    )
+    outs = []
+    t = frames.shape[0]
+    for start in range(0, t, batch_size):
+        chunk = frames[start : start + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros_like(chunk[:1]).repeat(pad, 0)])
+        out = detect(params, jnp.asarray(chunk))
+        outs.append({k: np.asarray(v)[: batch_size - pad] for k, v in out.items()})
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def tracks_from_detections(
+    detections: Dict[str, np.ndarray],
+    classeme_as_appearance: bool = True,
+    tracker_cfg: Optional[TrackerConfig] = None,
+) -> Dict[str, np.ndarray]:
+    """Detections (T, Dmax, ...) -> tracker outputs (T, K, ...).
+
+    Appearance features default to the per-class score vector (the
+    classeme), the SURVEY-suggested substitute for the TF re-ID net.
+    """
+    boxes = detections["boxes"]  # (T, D, 4) xyxy
+    t, d = boxes.shape[:2]
+    tlwh = np.concatenate(
+        [boxes[..., :2], boxes[..., 2:] - boxes[..., :2]], axis=-1
+    )
+    mask = detections["mask"] & (detections["scores"] > 0)
+    if classeme_as_appearance:
+        feats = detections.get("classeme")
+        if feats is None:
+            # one-hot of the predicted class, softened by score
+            num_classes = int(detections["classes"].max()) + 1 if mask.any() else 1
+            feats = np.eye(max(num_classes, 2), dtype=np.float32)[
+                detections["classes"]
+            ] * detections["scores"][..., None]
+    cfg = tracker_cfg or TrackerConfig(max_tracks=64)
+    outs = track_video(
+        cfg,
+        jnp.asarray(tlwh, jnp.float32),
+        jnp.asarray(feats, jnp.float32),
+        jnp.asarray(mask),
+    )
+    return {k: np.asarray(v) for k, v in outs.items()}
+
+
+def _segment_tracklets(
+    track_out: Dict[str, np.ndarray],
+    classemes_per_frame: np.ndarray,  # (T, K, C) classeme of each slot
+    fstart: int,
+    fend: int,
+    min_coverage: float = 1.0,
+) -> List[Trajectory]:
+    """Cut whole-video tracks into fully-covering segment tracklets."""
+    tlwh = track_out["tlwh"][fstart:fend]          # (S, K, 4)
+    ids = track_out["track_id"][fstart:fend]       # (S, K)
+    visible = track_out["visible"][fstart:fend]    # (S, K)
+    classemes = classemes_per_frame[fstart:fend]
+    s = fend - fstart
+    trajs = []
+    for tid in np.unique(ids[visible]):
+        present = (ids == tid) & visible  # (S, K)
+        if present.sum() < min_coverage * s:
+            continue
+        # slot of this track per frame (tracks keep their slot, but be safe)
+        boxes = np.zeros((s, 4))
+        cls_acc = None
+        ok = True
+        for f in range(s):
+            slots = np.flatnonzero(present[f])
+            if len(slots) == 0:
+                ok = False
+                break
+            k = slots[0]
+            x, y, w, h = tlwh[f, k]
+            boxes[f] = [x, y, x + w, y + h]
+            c = classemes[f, k]
+            cls_acc = c if cls_acc is None else cls_acc + c
+        if not ok:
+            continue
+        classeme = (cls_acc / s).tolist()
+        trajs.append(
+            Trajectory(
+                pstart=0, pend=s, rois=boxes, score=1.0,
+                category=int(np.argmax(classeme)), classeme=classeme,
+                gt_trackid=-1,
+            )
+        )
+    return trajs
+
+
+def gt_segment_tracklets(
+    dataset: AnnotationDataset, vid: str, fstart: int, fend: int, num_classes: int
+) -> List[Trajectory]:
+    """GT tracklets fully covering [fstart, fend) with one-hot classemes."""
+    out = []
+    for inst in dataset.get_object_insts(vid):
+        boxes = []
+        for f in range(fstart, fend):
+            b = inst["trajectory"].get(str(f))
+            if b is None:
+                break
+            boxes.append(b)
+        if len(boxes) != fend - fstart:
+            continue
+        classeme = np.zeros(num_classes, np.float32)
+        classeme[dataset.get_object_id(inst["category"])] = 1.0
+        out.append(
+            Trajectory(
+                pstart=0, pend=fend - fstart, rois=np.asarray(boxes, np.float64),
+                score=1.0, category=dataset.get_object_id(inst["category"]),
+                classeme=classeme.tolist(), gt_trackid=inst["tid"],
+            )
+        )
+    return out
+
+
+def extract_video_artifacts(
+    dataset: AnnotationDataset,
+    vid: str,
+    track_out: Dict[str, np.ndarray],
+    classemes_per_frame: np.ndarray,
+    include_gt: bool = True,
+    num_classes: int = 35,
+) -> int:
+    """Write traj_cls JSON + relation h5 for every segment of one video.
+    Returns the number of segments written."""
+    anno = dataset.get_anno(vid)
+    image_wh = (float(anno["width"]), float(anno["height"]))
+    written = 0
+    for fstart, fend in segment_video(0, anno["frame_count"]):
+        props = _segment_tracklets(track_out, classemes_per_frame, fstart, fend)
+        if len(props) < 2:
+            continue
+        save_trajectory_proposals(props, vid, fstart, fend, gt=False)
+        gts = (
+            gt_segment_tracklets(dataset, vid, fstart, fend, num_classes)
+            if include_gt
+            else []
+        )
+        seg = extract_segment_artifacts(
+            vid, fstart, fend, props, gts, image_wh=image_wh
+        )
+        written += seg is not None
+    return written
