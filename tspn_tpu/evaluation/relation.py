@@ -15,7 +15,10 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from tspn_tpu.evaluation.common import viou, voc_ap
+from tspn_tpu.evaluation.common import voc_ap
+# native C++ vIoU when built (tools/build_native.sh), NumPy otherwise —
+# identical values either way (tests/test_native.py)
+from tspn_tpu.native import viou
 
 
 def eval_detection_scores(

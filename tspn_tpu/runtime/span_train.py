@@ -1,0 +1,112 @@
+"""Span-model (DPN) training driver.
+
+Second training phase of the full TSPN: after (or alongside) the
+segment-level classifier, the span model learns relationness + duration
+regression + span classification from the video-level pair sequences.
+One jitted step per (P_max, S) shape; batches are videos.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tspn_tpu.data.video_pairs import VideoPairRecord, build_video_pair_record
+from tspn_tpu.data.vrdataset import SegmentDataset
+from tspn_tpu.models.span_tspn import SpanTSPN, span_tspn_loss
+from tspn_tpu.runtime.logging_utils import MetricLogger, setup_logger
+
+
+def record_to_batch(record: VideoPairRecord) -> dict:
+    pair_mask = np.zeros(record.seq_feats.shape[0], np.float32)
+    pair_mask[: record.num_pairs] = 1.0
+    return {
+        "seq_feats": record.seq_feats,
+        "seq_mask": record.seq_mask,
+        "pair_mask": pair_mask,
+        "gt_spans": record.gt_spans,
+        "gt_preds": record.gt_preds,
+        "gt_mask": record.gt_mask,
+    }
+
+
+def build_span_model(cfg) -> SpanTSPN:
+    return SpanTSPN(
+        num_predicates=cfg.PREDICT.PREDICATE_NUM,
+        proj_channels=cfg.RELPN.DPN.IN_CHANNELS,
+        anchor_sizes=tuple(float(s) for s in cfg.RELPN.DPN.ANCHOR_SIZES),
+        anchor_stride=float(cfg.RELPN.DPN.ANCHOR_STRIDE),
+        num_duration_proposals=cfg.RELPN.DPN.NUM_DURATION_PROPOSALS,
+        nms_threshold=cfg.RELPN.DPN.NMS_THRESHOLD,
+    )
+
+
+def train_span_model(
+    cfg,
+    dataset,
+    max_iter: Optional[int] = None,
+    lr: float = 1e-3,
+    logger=None,
+    seed: int = 0,
+):
+    """Train SpanTSPN over the train split's video pair records.
+
+    Returns (model, params). Videos cycle; each step consumes one video
+    (batching across videos requires equal segment counts — grouped by
+    S like the segment loader's buckets)."""
+    if logger is None:
+        logger = setup_logger("span_train", save_dir="logs")
+    seg_dataset = SegmentDataset(cfg, dataset, phase="train")
+    vids = sorted({ix[0] for ix in seg_dataset.index})
+    records: List[VideoPairRecord] = []
+    for vid in vids:
+        rec = build_video_pair_record(
+            dataset, seg_dataset, vid,
+            feature_dim=cfg.PREDICT.FEATURE_DIM,
+            num_objects=cfg.PREDICT.OBJECT_NUM,
+        )
+        if rec is not None and rec.gt_mask.sum() > 0:
+            records.append(rec)
+    assert records, "no video pair records with GT spans"
+    logger.info(f"span training over {len(records)} videos")
+
+    model = build_span_model(cfg)
+    example = record_to_batch(records[0])
+    params = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(example["seq_feats"]), jnp.asarray(example["seq_mask"]),
+        method=SpanTSPN.init_all,
+    )["params"]
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            losses = span_tspn_loss(model, p, batch)
+            return jnp.asarray(sum(losses.values())), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses["loss"] = total
+        return params, opt_state, losses
+
+    max_iter = max_iter or cfg.SOLVER.MAX_ITER
+    meters = MetricLogger()
+    end = time.time()
+    for it in range(max_iter):
+        batch = record_to_batch(records[it % len(records)])
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params, opt_state, losses = step(params, opt_state, batch)
+        meters.update(time=time.time() - end,
+                      **{k: float(v) for k, v in losses.items()})
+        end = time.time()
+        if it % max(cfg.ETC.DISPLAY_FREQ * 20, 20) == 0:
+            logger.info(f"[span {it + 1}/{max_iter}]  {meters}")
+    return model, params
