@@ -1,18 +1,21 @@
 """Benchmark: tracklet-pair relation scoring throughput on one TPU chip.
 
 Workload = the relation-stage hot path (BASELINE.json metric "tracklet
-pairs scored/sec/chip"): the flagship TSPN forward (PPN pair matrix +
-predicate classifier) over padded segment batches at production shapes
-(32-tracklet bucket -> 992 pairs x 11070-d features per segment).
+pairs scored/sec/chip"): L1 block normalization + Linear(11070 -> 132)
+predicate scoring over tracklet-pair features — the compute the
+reference splits across a host-side per-sample normalize
+(vrdataset.py:219-242) and a batch-1 fp32 GPU Linear
+(model.py:76-88, TEST_BATCH_SIZE=1 in configs/baseline.yaml).
 
-vs_baseline compares against the reference's execution style measured on
-the SAME chip with the SAME framework: per-segment batch-1 float32
-forwards (the reference runs TEST_BATCH_SIZE=1 fp32, one DataLoader item
-at a time — /root/reference/lib/modeling/predict.py:41-63,
-configs/baseline.yaml). Both sides use device-resident inputs so the
-ratio reflects compute organization (batching + bf16), not host-link
-speed. Each timed iteration consumes the previous iteration's output, so
-executions serialize and cannot overlap or be elided.
+Optimized path: the fused Pallas kernel (tspn_tpu.ops.pairwise) over
+bfloat16 device-layout features, 64 segments (63488 pairs) per dispatch
+— features are read from HBM once, normalized in VMEM, accumulated in
+fp32 on the MXU.
+
+vs_baseline: the same math as the reference executes it — unfused
+float32 XLA, one 992-pair segment per dispatch — measured on the SAME
+chip. Each timed iteration consumes the previous one's output so
+executions serialize (no pipelining illusions).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -28,84 +31,89 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _make_batch(rng, b, n, d, num_obj):
-    p = n * (n - 1)
-    idx = np.arange(n)
-    sub = np.repeat(idx, n - 1)
-    obj = np.concatenate([np.delete(idx, i) for i in range(n)])
-    pairs = np.tile(np.stack([sub, obj], 1)[None], (b, 1, 1)).astype(np.int32)
-    return {
-        "feats": rng.rand(b, p, d).astype(np.float32),
-        "pairs": pairs,
-        "labels": np.zeros((b, p, 1), np.float32),  # unused in forward
-        "pair_mask": np.ones((b, p), np.float32),
-        "cls_logits": rng.rand(b, n, num_obj).astype(np.float32),
-        "track_mask": np.ones((b, n), np.float32),
-    }
-
-
-def _time_chained(step_fn, batch, iters=20, warmup=3):
-    """Time fn(batch, carry)->carry with a serializing data dependency."""
-    carry = jnp.zeros((), jnp.float32)
-    for _ in range(warmup):
-        carry = step_fn(batch, carry)
-    jax.block_until_ready(carry)
+def _time_chained_unique(step_fn, iters=50, warmup=3):
+    """Timing under the dev tunnel needs BOTH properties (memory:
+    axon-tpu-quirks): every dispatch must carry unique input content
+    (identical dispatches are memoized) AND iterations must form a data
+    dependency chain (independent dispatches give async illusions).
+    step_fn(tag, carry) -> scalar carry; one host readback at the end
+    bounds the whole chain."""
+    carry = None
+    for i in range(warmup):
+        carry = step_fn(float(i + 1), carry)
+    _ = float(np.asarray(carry))  # forced sync
     start = time.perf_counter()
-    for _ in range(iters):
-        carry = step_fn(batch, carry)
-    jax.block_until_ready(carry)
+    for i in range(iters):
+        carry = step_fn(float(100 + i), carry)
+    _ = float(np.asarray(carry))
     return (time.perf_counter() - start) / iters
 
 
 def main():
-    from tspn_tpu.config import get_default_config
-    from tspn_tpu.models.tspn import build_model
+    from tspn_tpu.data.feature_store import FEATURE_DIM
+    from tspn_tpu.ops.pairwise import (
+        normalize_classify,
+        normalize_classify_pallas,
+        to_device_layout,
+        weights_to_device_layout,
+    )
 
-    cfg = get_default_config()
-    cfg.RELPN.USE_PPN = True
-    cfg.RELPN.USE_DPN = False
-
-    n_tracklets = 32
-    pairs_per_seg = n_tracklets * (n_tracklets - 1)
-    d = cfg.PREDICT.FEATURE_DIM
-    batch = 64
+    num_predicates = 132
+    pairs_per_seg = 32 * 31  # 32-tracklet bucket
+    segments = 64
+    p_total = segments * pairs_per_seg
 
     rng = np.random.RandomState(0)
-    host_batch = _make_batch(rng, batch, n_tracklets, d, cfg.PREDICT.OBJECT_NUM)
-    host_single = {k: v[:1] for k, v in host_batch.items()}
+    w = (rng.randn(FEATURE_DIM, num_predicates) * 0.01).astype(np.float32)
+    b = np.zeros(num_predicates, np.float32)
 
-    def make_step(model, params):
-        @jax.jit
-        def step(b, carry):
-            # fold the carry into the input so iteration i+1 depends on i
-            b = dict(b, feats=b["feats"] + carry)
-            out = model.apply({"params": params}, b)
-            return jnp.max(jax.nn.sigmoid(out["rel_logits"])) * 0.0
+    # features are generated ON DEVICE (host->device of multi-GB arrays
+    # over the dev tunnel would dominate the measurement); the valid-column
+    # mask reproduces the device layout's zero padding
+    from tspn_tpu.ops.pairwise import DEVICE_DIM, _permutation
 
-        return step
+    col_valid = jnp.asarray((_permutation() >= 0), jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    feats_dev = (
+        jax.random.uniform(key, (p_total, DEVICE_DIM), jnp.bfloat16) * col_valid
+    )
+    w_dev = jnp.asarray(weights_to_device_layout(w), jnp.bfloat16)
+    b_dev = jax.device_put(b)
 
-    # ---- optimized path: big batch, bf16 compute
-    cfg_opt = cfg.clone()
-    cfg_opt.MODEL.DTYPE = "bfloat16"
-    model_opt = build_model(cfg_opt)
-    params = model_opt.init(jax.random.PRNGKey(0), host_single)["params"]
-    dev_batch = jax.device_put(host_batch)
-    t_opt = _time_chained(make_step(model_opt, params), dev_batch)
-    pairs_per_sec = batch * pairs_per_seg / t_opt
+    # NOTE: all large buffers are explicit jit ARGUMENTS — closing over
+    # them embeds GB-scale constants in the HLO, which the remote TPU
+    # compiler chokes on (see memory: axon-tpu-quirks)
+    @jax.jit
+    def opt_step(x0, w_, b_, tag, carry):
+        # unique content per call + dependency on the previous iteration
+        x = x0 + (tag + carry).astype(x0.dtype)
+        out = normalize_classify_pallas(x, w_, b_, row_tile=256)
+        return jnp.max(out)
 
-    # ---- reference-style: batch-1 fp32, one segment per dispatch
-    model_ref = build_model(cfg)
-    params_ref = model_ref.init(jax.random.PRNGKey(0), host_single)["params"]
-    dev_single = jax.device_put(host_single)
-    step_ref = make_step(model_ref, params_ref)
+    def opt_fn(tag, carry):
+        c = jnp.float32(0.0) if carry is None else carry
+        return opt_step(feats_dev, w_dev, b_dev, jnp.float32(tag), c)
 
-    def ref_epoch(b, carry):
-        for _ in range(batch):
-            carry = step_ref(b, carry)
-        return carry
+    t_opt = _time_chained_unique(opt_fn)
+    pairs_per_sec = p_total / t_opt
 
-    t_ref = _time_chained(ref_epoch, dev_single, iters=3, warmup=1)
-    ref_pairs_per_sec = batch * pairs_per_seg / t_ref
+    # ---- reference-style: unfused f32, one segment per dispatch
+    seg = jax.random.uniform(key, (pairs_per_seg, FEATURE_DIM), jnp.float32)
+    w32, b32 = jax.device_put(w), jax.device_put(b)
+
+    @jax.jit
+    def ref_one(x, w_, b_, tag, carry):
+        out = normalize_classify(x + tag + carry, w_, b_)
+        return jnp.max(out)
+
+    def ref_step(tag, carry):
+        c = jnp.float32(0.0) if carry is None else carry
+        for s in range(segments):
+            c = ref_one(seg, w32, b32, jnp.float32(tag * segments + s), c)
+        return c
+
+    t_ref = _time_chained_unique(ref_step, iters=3, warmup=1)
+    ref_pairs_per_sec = p_total / t_ref
 
     print(json.dumps({
         "metric": "tracklet_pairs_scored_per_sec_per_chip",

@@ -1,0 +1,72 @@
+"""Fused normalize+classify: XLA and Pallas paths vs the host reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tspn_tpu.data.feature_store import FEATURE_DIM, l1_normalize_bow_blocks
+from tspn_tpu.ops.pairwise import (
+    DEVICE_DIM,
+    normalize_classify,
+    normalize_classify_pallas,
+    to_device_layout,
+    weights_to_device_layout,
+)
+
+
+@pytest.fixture()
+def problem(rng):
+    p, r = 20, 12
+    feats = (rng.rand(p, FEATURE_DIM) * (rng.rand(p, FEATURE_DIM) < 0.05)).astype(
+        np.float32
+    )
+    feats[:, :70] = rng.randn(p, 70)
+    feats[:, 8070:] = rng.randn(p, 3000) * 0.1
+    feats[3, 70:1070] = 0.0  # a zero BoW block -> zero-safe path
+    w = rng.randn(FEATURE_DIM, r).astype(np.float32) * 0.01
+    b = rng.randn(r).astype(np.float32)
+    expected = l1_normalize_bow_blocks(feats) @ w + b
+    return feats, w, b, expected
+
+
+def test_xla_path_matches_host(problem):
+    feats, w, b, expected = problem
+    got = np.asarray(
+        normalize_classify(jnp.asarray(feats), jnp.asarray(w), jnp.asarray(b))
+    )
+    assert np.allclose(got, expected, atol=2e-4), np.abs(got - expected).max()
+
+
+def test_device_layout_roundtrip_preserves_product(problem):
+    """Permuted layout with permuted weights gives the same logits."""
+    feats, w, b, expected = problem
+    fd = to_device_layout(l1_normalize_bow_blocks(feats))
+    wd = weights_to_device_layout(w)
+    assert fd.shape[-1] == DEVICE_DIM
+    got = fd @ wd + b
+    assert np.allclose(got, expected, atol=2e-4)
+
+
+def test_pallas_path_matches_host(problem):
+    feats, w, b, expected = problem
+    fd = jnp.asarray(to_device_layout(feats))
+    wd = jnp.asarray(weights_to_device_layout(w))
+    got = np.asarray(normalize_classify_pallas(fd, wd, jnp.asarray(b)))
+    assert np.allclose(got, expected, atol=2e-4), np.abs(got - expected).max()
+
+
+def test_pallas_handles_non_tile_multiple_rows(rng):
+    feats = rng.rand(7, FEATURE_DIM).astype(np.float32)
+    w = rng.randn(FEATURE_DIM, 5).astype(np.float32) * 0.01
+    b = np.zeros(5, np.float32)
+    got = np.asarray(
+        normalize_classify_pallas(
+            jnp.asarray(to_device_layout(feats)),
+            jnp.asarray(weights_to_device_layout(w)),
+            jnp.asarray(b),
+            row_tile=64,
+        )
+    )
+    expected = l1_normalize_bow_blocks(feats) @ w
+    assert got.shape == (7, 5)
+    assert np.allclose(got, expected, atol=2e-4)

@@ -126,6 +126,10 @@ def get_default_config() -> Config:
                 "NAME": "baseline",
                 # parameter dtype for the relation model ("float32"/"bfloat16")
                 "DTYPE": "float32",
+                # fuse BoW L1-normalization into the predicate classifier as
+                # a Pallas kernel; feats then flow RAW in the aligned device
+                # layout (tspn_tpu.ops.pairwise) instead of host-normalized
+                "FUSED_CLASSIFIER": False,
             },
             "SOLVER": {
                 "MAX_ITER": 2000,

@@ -73,6 +73,9 @@ class SegmentDataset:
         self.logit_only = cfg.DATASET.LOGIT_ONLY
         self.use_gt_obj_trajs = cfg.DATASET.USE_GT_OBJ_TRAJS
         self.iou_threshold = 0.5
+        # fused classifier: features stay RAW (the device kernel
+        # normalizes in VMEM) and are emitted in the aligned device layout
+        self.fused = bool(cfg.MODEL.get("FUSED_CLASSIFIER", False))
 
         self.gt_rel_insts: Dict[SegmentIndex, List[tuple]] = {}
         for vid in dataset.get_index(split=phase):
@@ -135,7 +138,12 @@ class SegmentDataset:
         # keep only proposal-proposal pairs (vrdataset.py:140-148)
         is_proposal = seg.trackid < 0
         keep = is_proposal[seg.pairs[:, 0]] & is_proposal[seg.pairs[:, 1]]
-        feats = l1_normalize_bow_blocks(seg.feats[keep])
+        if self.fused:
+            from tspn_tpu.ops.pairwise import to_device_layout
+
+            feats = to_device_layout(seg.feats[keep])
+        else:
+            feats = l1_normalize_bow_blocks(seg.feats[keep])
         pairs = seg.pairs[keep].astype(np.int64)
         labels = labels[keep]
 
@@ -169,6 +177,17 @@ class SegmentDataset:
 # ---------------------------------------------------------------------------
 # Fixed-shape padding for XLA
 # ---------------------------------------------------------------------------
+
+def effective_feature_dim(cfg) -> int:
+    """Per-pair feature width as stored in SegmentBatch leaves: the raw
+    11070 storage layout, or the aligned 11264 device layout when the
+    fused classifier is enabled."""
+    if cfg.MODEL.get("FUSED_CLASSIFIER", False):
+        from tspn_tpu.ops.pairwise import DEVICE_DIM
+
+        return DEVICE_DIM
+    return cfg.PREDICT.FEATURE_DIM
+
 
 def pick_bucket(num_tracklets: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= num_tracklets (largest bucket if none fits —

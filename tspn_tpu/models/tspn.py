@@ -21,20 +21,38 @@ from tspn_tpu.models.ppn import PPNHead
 
 
 class RelationPredictor(nn.Module):
-    """Per-pair predicate scorer (model.py:76-88). Returns LOGITS."""
+    """Per-pair predicate scorer (model.py:76-88). Returns LOGITS.
+
+    fused=True: input features are RAW in the aligned device layout
+    (ops.pairwise); BoW L1-normalization happens on device fused into
+    the matmul (XLA path here — differentiable; inference may swap in
+    the Pallas kernel with the same parameters, see runtime/predict).
+    """
 
     num_predicates: int
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
-        return nn.Dense(
-            self.num_predicates,
-            kernel_init=nn.initializers.normal(stddev=0.01),
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="rel_predictor",
-        )(feats)
+        if not self.fused:
+            return nn.Dense(
+                self.num_predicates,
+                kernel_init=nn.initializers.normal(stddev=0.01),
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="rel_predictor",
+            )(feats)
+        from tspn_tpu.ops.pairwise import DEVICE_DIM, normalize_classify_device
+
+        kernel = self.param(
+            "kernel", nn.initializers.normal(stddev=0.01),
+            (DEVICE_DIM, self.num_predicates),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.num_predicates,))
+        return normalize_classify_device(
+            feats.astype(self.dtype), kernel.astype(self.dtype), bias
+        )
 
 
 class TSPNModel(nn.Module):
@@ -56,6 +74,7 @@ class TSPNModel(nn.Module):
     num_predicates: int = 132
     use_ppn: bool = True
     use_dpn: bool = True
+    fused_classifier: bool = False
     ppn_hidden: int = 64
     ppn_out: int = 35
     dpn_anchor_sizes: tuple = (15, 30, 45, 60)
@@ -66,7 +85,9 @@ class TSPNModel(nn.Module):
 
     def setup(self):
         self.classifier = RelationPredictor(
-            num_predicates=self.num_predicates, dtype=self.dtype
+            num_predicates=self.num_predicates,
+            fused=self.fused_classifier,
+            dtype=self.dtype,
         )
         if self.use_ppn:
             self.ppn_head = PPNHead(
@@ -102,6 +123,7 @@ def build_model(cfg) -> TSPNModel:
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
         use_ppn=cfg.RELPN.USE_PPN,
         use_dpn=cfg.RELPN.USE_DPN,
+        fused_classifier=bool(cfg.MODEL.get("FUSED_CLASSIFIER", False)),
         ppn_hidden=cfg.RELPN.PPN.HIDDEN_CHANNELS,
         ppn_out=cfg.RELPN.PPN.OUT_CHANNELS,
         dpn_anchor_sizes=tuple(cfg.RELPN.DPN.ANCHOR_SIZES),

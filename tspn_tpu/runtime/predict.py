@@ -32,7 +32,7 @@ import numpy as np
 
 from tspn_tpu.data.loader import BucketedLoader
 from tspn_tpu.data.segments import get_model_path
-from tspn_tpu.data.vrdataset import SegmentDataset
+from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
 from tspn_tpu.models.tspn import build_model
 from tspn_tpu.runtime.checkpoint import load_checkpoint
 from tspn_tpu.runtime.logging_utils import setup_logger
@@ -75,7 +75,7 @@ def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
         dataset,
         buckets=cfg.BUCKETS.NUM_TRACKLETS,
         batch_size=cfg.DATASET.TEST_BATCH_SIZE,
-        feature_dim=cfg.PREDICT.FEATURE_DIM,
+        feature_dim=effective_feature_dim(cfg),
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
         num_objects=cfg.PREDICT.OBJECT_NUM,
         max_iter=None,
@@ -149,7 +149,7 @@ def predict(cfg, basedata, logger=None):
     bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
     p = bucket * (bucket - 1)
     example = {
-        "feats": np.zeros((1, p, cfg.PREDICT.FEATURE_DIM), np.float32),
+        "feats": np.zeros((1, p, effective_feature_dim(cfg)), np.float32),
         "pairs": np.zeros((1, p, 2), np.int32),
         "labels": np.zeros((1, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
         "pair_mask": np.zeros((1, p), np.float32),

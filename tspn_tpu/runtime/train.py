@@ -20,7 +20,7 @@ import numpy as np
 
 from tspn_tpu.data.loader import BucketedLoader
 from tspn_tpu.data.segments import get_model_path
-from tspn_tpu.data.vrdataset import SegmentDataset
+from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
 from tspn_tpu.models.tspn import build_model
 from tspn_tpu.parallel.mesh import make_mesh, shard_batch
 from tspn_tpu.parallel.train_step import TrainState, make_train_step
@@ -32,7 +32,7 @@ from tspn_tpu.solver.optim import build_optimizer
 def _example_batch(bucket: int, batch: int, cfg) -> dict:
     p = bucket * (bucket - 1)
     return {
-        "feats": np.zeros((batch, p, cfg.PREDICT.FEATURE_DIM), np.float32),
+        "feats": np.zeros((batch, p, effective_feature_dim(cfg)), np.float32),
         "pairs": np.zeros((batch, p, 2), np.int32),
         "labels": np.zeros((batch, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
         "pair_mask": np.zeros((batch, p), np.float32),
@@ -60,7 +60,7 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
         dataset,
         buckets=cfg.BUCKETS.NUM_TRACKLETS,
         batch_size=batch_size,
-        feature_dim=cfg.PREDICT.FEATURE_DIM,
+        feature_dim=effective_feature_dim(cfg),
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
         num_objects=cfg.PREDICT.OBJECT_NUM,
         max_iter=cfg.SOLVER.MAX_ITER,
