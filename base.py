@@ -45,7 +45,22 @@ def preprocessing(cfg, args, data_dir):
     logger.info(f"wrote artifacts for {count} segments")
 
 
+def _maybe_init_distributed():
+    """Multi-host rendezvous via env (set by dist_train.sh), replacing the
+    reference's MASTER_ADDR/mp.spawn/NCCL setup (base.py:60-65 there)."""
+    num = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num > 1:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=num,
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+
+
 def training(cfg, args, data_dir):
+    _maybe_init_distributed()
     basedata = _build_basedata(args, data_dir)
     from tspn_tpu.runtime.train import train
 
