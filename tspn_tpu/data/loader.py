@@ -49,6 +49,7 @@ class BucketedLoader:
         rank: int = 0,
         world_size: int = 1,
         prefetch: int = 2,
+        include_records: bool = False,
     ):
         self.dataset = dataset
         self.buckets = sorted(buckets)
@@ -62,6 +63,7 @@ class BucketedLoader:
         self.rank = rank
         self.world_size = world_size
         self.prefetch = prefetch
+        self.include_records = include_records
         # bucket assignment is static per segment: probe proposal counts once
         self._bucket_of = [
             pick_bucket(dataset.load_segment(i).num_proposals, self.buckets)
@@ -115,7 +117,10 @@ class BucketedLoader:
             pad_record(r, bucket, self.num_predicates, self.num_objects, self.feature_dim)
             for r in records
         ]
-        return bucket, stack_records(padded), [r.index for r in records]
+        out = (bucket, stack_records(padded), [r.index for r in records])
+        if self.include_records:
+            out = out + (records,)
+        return out
 
     def __iter__(self):
         stream = self._batches()

@@ -1,0 +1,106 @@
+"""Frame-level detection evaluation (per-class AP / mAP).
+
+The reference's detector eval (/root/reference/detectron/eval.py) is a
+non-runnable fragment (undefined cfg, balloon-dataset names); this is a
+working VOC-style evaluator over COCO-format records + fixed-size
+detection dicts from FasterRCNN.detect: per class, predictions sorted by
+score greedily match unclaimed GT at IoU >= threshold; AP via the exact
+PR-envelope integration shared with the video evaluators.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Iterable, List, Tuple
+
+import numpy as np
+
+from tspn_tpu.evaluation.common import voc_ap
+
+
+def _frame_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = lambda x: np.clip(x[:, 2] - x[:, 0], 0, None) * np.clip(  # noqa: E731
+        x[:, 3] - x[:, 1], 0, None
+    )
+    union = area(a)[:, None] + area(b)[None, :] - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def evaluate_detections(
+    records: List[dict],
+    detections: Dict[int, dict],
+    iou_threshold: float = 0.5,
+    num_classes: int = 35,
+) -> Tuple[float, Dict[int, float]]:
+    """records: COCO-format dicts (tspn_tpu.detection.coco_format);
+    detections: {image_id: {boxes (D, 4), scores (D,), classes (D,),
+    mask (D,)}}. Returns (mAP over classes with GT, per-class AP)."""
+    gt_by_class: Dict[int, Dict[int, np.ndarray]] = defaultdict(dict)
+    for rec in records:
+        by_cls = defaultdict(list)
+        for ann in rec["annotations"]:
+            by_cls[ann["category_id"]].append(ann["bbox"])
+        for c, boxes in by_cls.items():
+            gt_by_class[c][rec["image_id"]] = np.asarray(boxes, np.float64)
+
+    preds_by_class: Dict[int, list] = defaultdict(list)
+    for image_id, det in detections.items():
+        mask = np.asarray(det["mask"], bool)
+        for box, score, cls in zip(
+            np.asarray(det["boxes"])[mask],
+            np.asarray(det["scores"])[mask],
+            np.asarray(det["classes"])[mask],
+        ):
+            preds_by_class[int(cls)].append((image_id, float(score), box))
+
+    ap_per_class: Dict[int, float] = {}
+    for c, gt_map in gt_by_class.items():
+        npos = sum(len(v) for v in gt_map.values())
+        preds = sorted(preds_by_class.get(c, []), key=lambda x: -x[1])
+        claimed = {img: np.zeros(len(v), bool) for img, v in gt_map.items()}
+        tp = np.zeros(len(preds))
+        fp = np.zeros(len(preds))
+        for i, (img, _score, box) in enumerate(preds):
+            gts = gt_map.get(img)
+            if gts is None or not len(gts):
+                fp[i] = 1
+                continue
+            ious = _frame_iou(np.asarray(box, np.float64)[None], gts)[0]
+            ious[claimed[img]] = -1
+            j = int(np.argmax(ious))
+            if ious[j] >= iou_threshold:
+                tp[i] = 1
+                claimed[img][j] = True
+            else:
+                fp[i] = 1
+        cum_tp, cum_fp = np.cumsum(tp), np.cumsum(fp)
+        recall = cum_tp / max(npos, 1)
+        precision = cum_tp / np.maximum(cum_tp + cum_fp, np.finfo(np.float64).eps)
+        ap_per_class[c] = voc_ap(recall, precision) if len(preds) else 0.0
+
+    mean_ap = float(np.mean(list(ap_per_class.values()))) if ap_per_class else 0.0
+    return mean_ap, ap_per_class
+
+
+def run_detector_eval(model, params, records: List[dict], image_loader=None):
+    """Run FasterRCNN.detect over records and evaluate; image_loader maps
+    a record -> (H, W, 3) float image (defaults to the train module's)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tspn_tpu.detection.rcnn import FasterRCNN
+    from tspn_tpu.detection.train import load_record_image
+
+    loader = image_loader or load_record_image
+    detect = jax.jit(
+        lambda p, im: model.apply({"params": p}, im, method=FasterRCNN.detect)
+    )
+    detections = {}
+    for rec in records:
+        out = detect(params, jnp.asarray(loader(rec)))
+        detections[rec["image_id"]] = {k: np.asarray(v) for k, v in out.items()}
+    return evaluate_detections(records, detections, num_classes=model.cfg.num_classes)

@@ -66,6 +66,23 @@ def _select_topk(
     )
 
 
+def _make_batched_infer(model, topk_per_pair: int, topk_per_seg: int):
+    """One jitted program per bucket: forward + per-segment top-k for a
+    whole SEGMENT BATCH — a single device dispatch + readback per batch
+    instead of per segment (dispatch latency dominates one-chip
+    inference, especially over the dev tunnel)."""
+
+    @jax.jit
+    def infer(params, batch):
+        out = model.apply({"params": params}, batch)
+        rel_prob = jax.nn.sigmoid(out["rel_logits"])
+        return jax.vmap(
+            lambda rp, pm: _select_topk(rp, pm, topk_per_pair, topk_per_seg)
+        )(rel_prob, batch["pair_mask"])
+
+    return infer
+
+
 def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
     """Run relation prediction over every test segment.
 
@@ -80,36 +97,33 @@ def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
         num_objects=cfg.PREDICT.OBJECT_NUM,
         max_iter=None,
         shuffle=False,
+        include_records=True,
     )
     topk_per_pair = cfg.PREDICT.TOPK_PER_PAIR
     topk_per_seg = cfg.PREDICT.TOPK_PER_SEG
 
-    @jax.jit
-    def forward(batch):
-        out = model.apply({"params": params}, batch)
-        return jax.nn.sigmoid(out["rel_logits"])
+    infer = _make_batched_infer(model, topk_per_pair, topk_per_seg)
 
     short_term_relations: Dict[Tuple[str, int, int], tuple] = {}
     seen = set()
-    for bucket, batch, indices in loader:
-        rel_prob = forward(batch)
+    for bucket, batch, indices, records in loader:
+        # one dispatch + one readback for the whole segment batch
+        scores_b, pair_idx_b, pred_idx_b, valid_b = jax.tree_util.tree_map(
+            np.asarray, infer(params, batch)
+        )
         for b, index in enumerate(indices):
             if index in seen:  # epoch-end padding repeats segments
                 continue
             seen.add(index)
-            record = dataset.load_segment(dataset.index.index(index))
+            record = records[b]
             if record.num_proposals <= 1:
                 if logger:
                     logger.info(f"No relation exists in video segment {index}")
                 continue
-            scores, pair_idx, pred_idx, valid = _select_topk(
-                rel_prob[b], jnp.asarray(batch["pair_mask"][b]),
-                topk_per_pair, topk_per_seg,
-            )
-            scores = np.asarray(scores)
-            pair_idx = np.asarray(pair_idx)
-            pred_idx = np.asarray(pred_idx)
-            valid = np.asarray(valid)
+            scores = scores_b[b]
+            pair_idx = pair_idx_b[b]
+            pred_idx = pred_idx_b[b]
+            valid = valid_b[b]
 
             pairs = batch["pairs"][b]            # (P, 2) tracklet ids
             cls_logits = record.cls_logits       # (N, C)
