@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from tspn_tpu.data.loader import BucketedLoader
+from tspn_tpu.data.vrdataset import SegmentDataset
+
+
+@pytest.fixture()
+def train_ds(cfg, synthetic_dataset):
+    return SegmentDataset(cfg, synthetic_dataset, phase="train")
+
+
+def _loader(cfg, ds, **kw):
+    defaults = dict(
+        buckets=cfg.BUCKETS.NUM_TRACKLETS, batch_size=2,
+        feature_dim=cfg.PREDICT.FEATURE_DIM,
+        num_predicates=cfg.PREDICT.PREDICATE_NUM,
+        num_objects=cfg.PREDICT.OBJECT_NUM,
+    )
+    defaults.update(kw)
+    return BucketedLoader(ds, **defaults)
+
+
+def test_iteration_based_length_and_shapes(cfg, train_ds):
+    loader = _loader(cfg, train_ds, max_iter=7, seed=1)
+    batches = list(loader)
+    assert len(batches) == 7
+    for bucket, batch, indices in batches:
+        p = bucket * (bucket - 1)
+        assert batch["feats"].shape == (2, p, cfg.PREDICT.FEATURE_DIM)
+        assert len(indices) == 2
+
+
+def test_single_epoch_covers_dataset_once(cfg, train_ds):
+    loader = _loader(cfg, train_ds, max_iter=None, shuffle=False, batch_size=1)
+    seen = [idx for _, _, indices in loader for idx in indices]
+    assert sorted(seen) == sorted(train_ds.index)
+
+
+def test_deterministic_shuffle(cfg, train_ds):
+    a = [i for _, _, idx in _loader(cfg, train_ds, max_iter=5, seed=3) for i in idx]
+    b = [i for _, _, idx in _loader(cfg, train_ds, max_iter=5, seed=3) for i in idx]
+    c = [i for _, _, idx in _loader(cfg, train_ds, max_iter=5, seed=4) for i in idx]
+    assert a == b
+    assert a != c
+
+
+def test_rank_sharding_partitions_stream(cfg, train_ds):
+    per_rank = []
+    for rank in (0, 1):
+        loader = _loader(
+            cfg, train_ds, max_iter=None, shuffle=False, batch_size=1,
+            rank=rank, world_size=2,
+        )
+        per_rank.append([i for _, _, idx in loader for i in idx])
+    # disjoint up to the divisibility pad, union covers everything
+    union = set(per_rank[0]) | set(per_rank[1])
+    assert union == set(train_ds.index)
+
+
+def test_include_records_yields_records(cfg, train_ds):
+    loader = _loader(cfg, train_ds, max_iter=2, include_records=True)
+    for bucket, batch, indices, records in loader:
+        assert len(records) == len(indices)
+        assert records[0].index == indices[0]
+
+
+def test_show_mot_results_renders(tmp_path):
+    from PIL import Image
+
+    from tools.show_mot_results import render_sequence
+
+    seq = tmp_path / "seq" / "img1"
+    seq.mkdir(parents=True)
+    for f in range(1, 4):
+        Image.fromarray(np.zeros((50, 60, 3), np.uint8)).save(seq / f"{f:05d}.jpg")
+    result = tmp_path / "res.txt"
+    result.write_text("1,1,5,5,20,30,1,-1,-1,-1\n2,1,7,5,20,30,1,-1,-1,-1\n")
+    n = render_sequence(str(tmp_path / "seq"), str(result), str(tmp_path / "out"))
+    assert n == 3
+    img = np.asarray(Image.open(tmp_path / "out" / "00001.jpg"))
+    assert img.sum() > 0

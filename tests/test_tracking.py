@@ -187,3 +187,18 @@ def test_crossing_objects_keep_ids_via_appearance():
     right_id_early = id_at(t_early, 10 + 10 * t_early)
     right_id_late = id_at(t_late, 10 + 10 * t_late)
     assert right_id_early == right_id_late
+
+
+def test_collapsed_cascade_keeps_behavior():
+    """cascade_depth=0 (one assignment over all confirmed tracks) keeps
+    identity stability and occlusion recovery."""
+    cfg = TrackerConfig(max_tracks=8, cascade_depth=0)
+    tlwh, feat, mask = _frames_linear(20, [(50, 50), (300, 200)])
+    mask[8:11, 0] = False  # occlude object 0 for three frames
+    outs = track_video(cfg, jnp.asarray(tlwh), jnp.asarray(feat), jnp.asarray(mask))
+    visible = np.asarray(outs["visible"])
+    ids = np.asarray(outs["track_id"])
+    assert visible[-1].sum() == 2
+    id_before = set(ids[7][visible[7]].tolist())
+    id_after = set(ids[15][visible[15]].tolist())
+    assert id_before == id_after  # same identities through the gap

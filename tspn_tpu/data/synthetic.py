@@ -60,8 +60,14 @@ def generate_annotations(
     predicate_vocab: Sequence[str] = None,
     num_categories: int = 0,
     num_predicate_types: int = 0,
+    vidor_format: bool = False,
+    splits: Sequence[str] = ("train", "test"),
 ) -> List[str]:
-    """Write {train,test}/<vid>.json annotations; returns video ids.
+    """Write per-video annotations; returns video ids.
+
+    VidVRD format: {split}/<vid>.json, no version field. VidOR format
+    (vidor_format=True): {split}/<group>/<vid>.json with VERSION 1.0 +
+    video_path fields (base_vidor.py's nested layout).
 
     num_categories / num_predicate_types > 0 restrict sampling to a small
     vocab slice so category pairs repeat across videos with different
@@ -77,10 +83,14 @@ def generate_annotations(
         predicates = predicates[:num_predicate_types]
     vids = []
     counter = 0
-    for split, count in (("train", num_train), ("test", num_test)):
-        os.makedirs(os.path.join(root, split), exist_ok=True)
+    for split, count in zip(splits, (num_train, num_test)):
         for _ in range(count):
             vid = f"SYN_{split}_{counter:08d}"
+            group = f"{counter % 2:04d}"
+            if vidor_format:
+                os.makedirs(os.path.join(root, split, group), exist_ok=True)
+            else:
+                os.makedirs(os.path.join(root, split), exist_ok=True)
             counter += 1
             vids.append(vid)
             n_obj = objects_per_video
@@ -124,7 +134,13 @@ def generate_annotations(
                 "trajectories": trajectories,
                 "relation_instances": relations,
             }
-            with open(os.path.join(root, split, f"{vid}.json"), "w") as f:
+            if vidor_format:
+                anno["version"] = "VERSION 1.0"
+                anno["video_path"] = f"{group}/{vid}.mp4"
+                path = os.path.join(root, split, group, f"{vid}.json")
+            else:
+                path = os.path.join(root, split, f"{vid}.json")
+            with open(path, "w") as f:
                 json.dump(anno, f)
     return vids
 

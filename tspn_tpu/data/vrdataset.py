@@ -78,8 +78,9 @@ class SegmentDataset:
         self.fused = bool(cfg.MODEL.get("FUSED_CLASSIFIER", False))
 
         self.gt_rel_insts: Dict[SegmentIndex, List[tuple]] = {}
+        is_train = phase == "train" or "train" in phase  # 'training' too
         for vid in dataset.get_index(split=phase):
-            anno = dataset.get_anno(vid) if phase == "test" else None
+            anno = None if is_train else dataset.get_anno(vid)
             for rel in dataset.get_relation_insts(vid, no_traj=True):
                 sub_name, pred_name, obj_name = rel["triplet"]
                 entry = (
@@ -89,7 +90,7 @@ class SegmentDataset:
                     dataset.get_object_id(obj_name),
                     dataset.get_predicate_id(pred_name),
                 )
-                if phase == "train":
+                if is_train:
                     segs = segment_video(*rel["duration"])
                 else:
                     segs = segment_video(0, anno["frame_count"])
