@@ -202,3 +202,26 @@ def test_collapsed_cascade_keeps_behavior():
     id_before = set(ids[7][visible[7]].tolist())
     id_after = set(ids[15][visible[15]].tolist())
     assert id_before == id_after  # same identities through the gap
+
+
+def test_batched_videos_match_sequential():
+    """vmap'd multi-video tracking gives identical results per video."""
+    from tspn_tpu.tracking.tracker import track_videos_batch
+
+    cfg = TrackerConfig(max_tracks=8, cascade_depth=4)
+    vids = []
+    for seed in (0, 1, 2):
+        vids.append(_frames_linear(10, [(10, 10), (200, 150)], seed=seed))
+    tlwh = jnp.asarray(np.stack([v[0] for v in vids]))
+    feat = jnp.asarray(np.stack([v[1] for v in vids]))
+    mask = jnp.asarray(np.stack([v[2] for v in vids]))
+    batched = track_videos_batch(cfg, tlwh, feat, mask)
+    for b in range(3):
+        single = track_video(cfg, tlwh[b], feat[b], mask[b])
+        for key in ("track_id", "visible", "state"):
+            assert np.array_equal(
+                np.asarray(batched[key])[b], np.asarray(single[key])
+            ), key
+        assert np.allclose(
+            np.asarray(batched["tlwh"])[b], np.asarray(single["tlwh"]), atol=1e-4
+        )

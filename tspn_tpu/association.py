@@ -17,7 +17,7 @@ segment's branch (association.py:145-152) does.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from tspn_tpu.data.segments import SEGMENT_STRIDE, segment_video
+from tspn_tpu.data.segments import SEGMENT_STRIDE
 from tspn_tpu.data.trajectory import Trajectory, load_trajectory_proposals, overlap_traj_iou
 from tspn_tpu.data.vrdataset import SegmentDataset
 

@@ -11,7 +11,7 @@ PR-envelope integration shared with the video evaluators.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, Iterable, List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ XLA program per image size.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Dict, NamedTuple
 
 import flax.linen as nn
 import jax

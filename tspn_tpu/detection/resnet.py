@@ -13,8 +13,6 @@ Convs use NHWC (TPU-native layout) and bfloat16-friendly init.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

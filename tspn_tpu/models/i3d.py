@@ -17,8 +17,6 @@ inflate_resnet.py:50-60 driver checks.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

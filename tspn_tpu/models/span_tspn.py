@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tspn_tpu.models.dpn import DPN, DPNTargets, dpn_loss, match_anchors
+from tspn_tpu.models.dpn import DPN, dpn_loss, match_anchors
 from tspn_tpu.models.tspn import RelationPredictor
 from tspn_tpu.ops.temporal import decode_spans, nms_1d
 

@@ -7,7 +7,7 @@ when the extension is absent so nothing hard-depends on the toolchain.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

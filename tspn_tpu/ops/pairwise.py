@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tspn_tpu.data.feature_store import BOW_BLOCK_SIZE, BOW_BLOCK_STARTS, FEATURE_DIM
+from tspn_tpu.data.feature_store import BOW_BLOCK_SIZE, BOW_BLOCK_STARTS
 
 NUM_BLOCKS = len(BOW_BLOCK_STARTS)
 _HEAD = 70  # classeme columns in storage layout

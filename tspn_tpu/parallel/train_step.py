@@ -20,7 +20,7 @@ Loss semantics (model.py:42-45 + ppn.py:62-64, adapted to padding):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

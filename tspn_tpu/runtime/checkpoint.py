@@ -12,9 +12,8 @@ SURVEY.md section 5.3/5.4).
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

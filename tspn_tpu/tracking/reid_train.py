@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from tspn_tpu.models.reid import EMBED_DIM, AppearanceEncoder
+from tspn_tpu.models.reid import AppearanceEncoder
 
 
 class CosineClassifier(nn.Module):

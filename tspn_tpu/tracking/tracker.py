@@ -323,3 +323,18 @@ def track_video(
 
     _, outs = jax.lax.scan(step, st, (det_tlwh, det_features, det_mask))
     return outs
+
+
+def track_videos_batch(
+    cfg: TrackerConfig,
+    det_tlwh: jnp.ndarray,      # (B, T, D, 4)
+    det_features: jnp.ndarray,  # (B, T, D, F)
+    det_mask: jnp.ndarray,      # (B, T, D)
+):
+    """Track a BATCH of equal-length videos concurrently (vmap over the
+    scan). Tracking is sequential in time but independent across videos,
+    so offline multi-video throughput scales with the batch instead of
+    paying per-frame latency per video."""
+    return jax.vmap(lambda a, b, c: track_video(cfg, a, b, c))(
+        det_tlwh, det_features, det_mask
+    )
