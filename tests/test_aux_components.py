@@ -129,3 +129,35 @@ def test_visualizer_draws_frames(tmp_path):
     assert n == 5
     out0 = np.asarray(Image.open(tmp_path / "out" / vid / "00001.jpg"))
     assert out0.sum() > 0  # something was drawn on the black frame
+
+
+def test_merge_relations_maximal_spans():
+    from tools.inspect_anno import merge_relations
+
+    rels = [
+        {"subject_tid": 0, "object_tid": 1, "predicate": "chase",
+         "begin_fid": 0, "end_fid": 30},
+        {"subject_tid": 0, "object_tid": 1, "predicate": "chase",
+         "begin_fid": 15, "end_fid": 45},
+        {"subject_tid": 0, "object_tid": 1, "predicate": "chase",
+         "begin_fid": 60, "end_fid": 90},
+        {"subject_tid": 1, "object_tid": 0, "predicate": "watch",
+         "begin_fid": 0, "end_fid": 30},
+    ]
+    merged = merge_relations(rels)
+    chase = sorted(
+        m["duration"] for m in merged if m["predicate"] == "chase"
+    )
+    assert chase == [(0, 45), (60, 90)]
+    assert len([m for m in merged if m["predicate"] == "watch"]) == 1
+
+
+def test_inspect_anno(synthetic_dataset):
+    from tools.inspect_anno import inspect
+
+    vid = synthetic_dataset.get_index("train")[0]
+    info = inspect(synthetic_dataset, vid)
+    assert info["frame_count"] == 75
+    assert len(info["objects"]) == 3
+    assert all(o["frames"] == 75 for o in info["objects"])
+    assert info["merged_relations"]
