@@ -27,10 +27,12 @@ def _build_basedata(args, data_dir):
     if args.dataset == "vidvrd":
         return BaseVidVRD(data_dir, os.path.join(data_dir, "videos"), ["train", "test"])
     if args.dataset == "vidor":
+        # VidOR's split directories are training/validation (the reference
+        # passes ['train','test'] here too and would fail the same way)
         return BaseVidOR(
             os.path.join(data_dir, "annotation"),
             os.path.join(data_dir, "videos"),
-            ["train", "test"],
+            ["training", "validation"],
         )
     raise ValueError(f"No dataset named {args.dataset}")
 
@@ -40,8 +42,20 @@ def preprocessing(cfg, args, data_dir):
     basedata = _build_basedata(args, data_dir)
     from tspn_tpu.data.synthetic import generate_segment_artifacts
 
+    # the 11070-d layout reserves 35-wide classeme slots (VidVRD's vocab);
+    # materializing from annotations requires category ids < 35
+    if basedata.get_object_num() > 35:
+        raise NotImplementedError(
+            "annotation-derived segment artifacts support <= 35 object "
+            "categories (the reference feature layout's classeme width); "
+            f"this dataset has {basedata.get_object_num()}. Use the "
+            "detector+tracker pipeline (tools/demo_clip.py flow) instead."
+        )
+    splits = (
+        ("training", "validation") if args.dataset == "vidor" else ("train", "test")
+    )
     logger.info("materializing per-segment relation features from annotations...")
-    count = generate_segment_artifacts(basedata, cfg.ETC.OUTPUT_DIR)
+    count = generate_segment_artifacts(basedata, cfg.ETC.OUTPUT_DIR, splits=splits)
     logger.info(f"wrote artifacts for {count} segments")
 
 

@@ -1,0 +1,40 @@
+"""Checkpoint resume: global iteration accounting (review finding)."""
+
+import os
+
+import numpy as np
+
+
+def test_resume_continues_not_restarts(cfg, synthetic_dataset, tmp_path, monkeypatch):
+    from tspn_tpu.data.segments import get_model_path
+    from tspn_tpu.runtime.checkpoint import latest_checkpoint, load_checkpoint
+    from tspn_tpu.runtime.train import train
+
+    # artifacts live under the session fixture's output dir (set by the
+    # synthetic_dataset fixture); use a distinct model name so this
+    # test's checkpoints don't collide with other tests'
+    cfg = cfg.clone()
+    cfg.merge_from_dict({
+        "MODEL": {"NAME": "resume_test"},
+        "PREDICT": {"PREDICATE_NUM": synthetic_dataset.get_predicate_num()},
+        "RELPN": {"USE_PPN": False, "USE_DPN": False},
+        "SOLVER": {"MAX_ITER": 10,
+                   "SCHEDULER": {"MILESTONES": [6, 8], "WARMUP_ITERS": 2}},
+        "ETC": {"SAVE_FREQ": 5, "DISPLAY_FREQ": 100},
+        "BUCKETS": {"SEGMENTS_PER_STEP": 2},
+    })
+    # phase 1: train the first half, stop at 5 via MAX_ITER=5
+    cfg1 = cfg.clone()
+    cfg1.SOLVER.MAX_ITER = 5
+    state1 = train(cfg1, synthetic_dataset)
+    assert int(np.asarray(state1.step)) == 5
+    ckpt = latest_checkpoint(get_model_path(), cfg.MODEL.NAME)
+    assert ckpt.endswith("_iter_5.pt")
+
+    # phase 2: resume to the full 10 — must do 5 MORE, not 10 more
+    state2 = train(cfg, synthetic_dataset, resume=True)
+    assert int(np.asarray(state2.step)) == 10
+    ckpt2 = latest_checkpoint(get_model_path(), cfg.MODEL.NAME)
+    assert ckpt2.endswith("_iter_10.pt")
+    restored = load_checkpoint(ckpt2, state2.params)
+    assert restored["step"] == 10

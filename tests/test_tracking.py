@@ -225,3 +225,35 @@ def test_batched_videos_match_sequential():
         assert np.allclose(
             np.asarray(batched["tlwh"])[b], np.asarray(single["tlwh"]), atol=1e-4
         )
+
+
+def test_crowded_frame_does_not_corrupt_tracks():
+    """Regression: with more unmatched detections than free slots the
+    initiation ranks must never collide with occupied-slot sentinels
+    (previously every live track was wiped and re-initialized)."""
+    cfg = TrackerConfig(max_tracks=4, cascade_depth=4)
+    num_frames, d_max, f_dim = 8, 12, 8
+    rng = np.random.RandomState(3)
+    det_tlwh = np.zeros((num_frames, d_max, 4), np.float32)
+    det_feat = rng.rand(num_frames, d_max, f_dim).astype(np.float32)
+    det_mask = np.zeros((num_frames, d_max), bool)
+    # four stable objects
+    feats = rng.rand(4, f_dim)
+    for t in range(num_frames):
+        for i in range(4):
+            det_tlwh[t, i] = [50 + 120 * i, 50, 30, 60]
+            det_feat[t, i] = feats[i]
+            det_mask[t, i] = True
+    # frame 5: a burst of 8 extra far-away detections (> max_tracks + 1)
+    for j in range(4, 12):
+        det_tlwh[5, j] = [900 + 40 * j, 700, 30, 60]
+        det_mask[5, j] = True
+    outs = track_video(cfg, jnp.asarray(det_tlwh), jnp.asarray(det_feat),
+                       jnp.asarray(det_mask))
+    visible = np.asarray(outs["visible"])
+    ids = np.asarray(outs["track_id"])
+    before = set(ids[4][visible[4]].tolist())
+    after = set(ids[7][visible[7]].tolist())
+    assert len(before) == 4
+    # the four original identities survive the crowded frame
+    assert before <= after

@@ -64,9 +64,12 @@ class BucketedLoader:
         self.world_size = world_size
         self.prefetch = prefetch
         self.include_records = include_records
-        # bucket assignment is static per segment: probe proposal counts once
+        # bucket assignment is static per segment: probe proposal counts
+        # once via the cheap trackid-only read (a full load_segment here
+        # would read + label-match every h5 twice per epoch on the
+        # single-core host)
         self._bucket_of = [
-            pick_bucket(dataset.load_segment(i).num_proposals, self.buckets)
+            pick_bucket(dataset.num_proposals_of(i), self.buckets)
             for i in range(len(dataset))
         ]
 
@@ -126,24 +129,42 @@ class BucketedLoader:
         stream = self._batches()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         count = [0]
 
         def producer():
-            for bucket, idxs in stream:
-                if self.max_iter is not None and count[0] >= self.max_iter:
-                    break
-                q.put(self._assemble(bucket, idxs))
-                count[0] += 1
+            try:
+                for bucket, idxs in stream:
+                    if stop.is_set() or (
+                        self.max_iter is not None and count[0] >= self.max_iter
+                    ):
+                        break
+                    item = self._assemble(bucket, idxs)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    count[0] += 1
+            except BaseException as exc:  # surface IO errors to the consumer
+                q.put(("__loader_error__", exc))
+                return
             q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         emitted = 0
-        while True:
-            item = q.get()
-            if item is sentinel:
-                return
-            yield item
-            emitted += 1
-            if self.max_iter is not None and emitted >= self.max_iter:
-                return
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    return
+                if isinstance(item, tuple) and len(item) == 2 and item[0] == "__loader_error__":
+                    raise item[1]
+                yield item
+                emitted += 1
+                if self.max_iter is not None and emitted >= self.max_iter:
+                    return
+        finally:
+            stop.set()  # unblock a producer stuck on a full queue

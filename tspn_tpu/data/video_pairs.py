@@ -25,7 +25,6 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from tspn_tpu.data.segments import SEGMENT_STRIDE
 from tspn_tpu.data.trajectory import Trajectory, load_trajectory_proposals, overlap_traj_iou
 from tspn_tpu.data.vrdataset import SegmentDataset
 
@@ -226,9 +225,3 @@ def build_video_pair_record(
         chains=chains,
     )
 
-
-def span_to_frames(span_in_steps: np.ndarray, num_segments: int, frame_count: int):
-    """Segment-step span -> frame duration [fstart, fend)."""
-    start = float(span_in_steps[0]) * SEGMENT_STRIDE
-    end = float(span_in_steps[1]) * SEGMENT_STRIDE + SEGMENT_STRIDE
-    return max(0, int(round(start))), min(frame_count, int(round(end)))

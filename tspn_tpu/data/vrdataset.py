@@ -128,6 +128,17 @@ class SegmentDataset:
         return labels_matrix[seg.pairs[:, 0], seg.pairs[:, 1]]
 
     # ---------------------------------------------------------------- access
+    def num_proposals_of(self, idx: int) -> int:
+        """Cheap bucket probe: read only the small trackid dataset."""
+        import h5py
+
+        from tspn_tpu.data.segments import get_relation_feature_file
+
+        vid, fstart, fend = self.index[idx]
+        with h5py.File(get_relation_feature_file(vid, fstart, fend), "r") as f:
+            trackid = np.asarray(f["trackid"][:])
+        return int(np.sum(trackid < 0))
+
     def load_segment(self, idx: int) -> SegmentRecord:
         index = self.index[idx]
         vid, fstart, fend = index

@@ -135,7 +135,11 @@ class FasterRCNN(nn.Module):
         is_fg = (best_iou >= c.roi_fg_threshold) & valid
         is_bg = (~is_fg) & valid
         labels = jnp.where(is_fg, 1.0, jnp.where(is_bg, 0.0, -1.0))
-        weights = sample_targets(labels, c.roi_batch_size, c.roi_positive_fraction)
+        # priority: highest-overlap RoIs first (GT-appended boxes have
+        # IoU 1.0 and are always kept among the foreground sample)
+        weights = sample_targets(
+            labels, c.roi_batch_size, c.roi_positive_fraction, priority=best_iou
+        )
 
         # gather the sampled RoIs into a fixed (roi_batch_size,) set
         rank = jnp.where(weights > 0, jnp.cumsum(weights > 0) - 1, 10**9)

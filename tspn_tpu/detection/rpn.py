@@ -111,23 +111,38 @@ def match_anchors_to_gt(
 
 
 def sample_targets(
-    labels: jnp.ndarray, batch_size: int, positive_fraction: float
+    labels: jnp.ndarray,
+    batch_size: int,
+    positive_fraction: float,
+    priority: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Deterministic balanced attention mask over fg/bg anchors.
 
     Returns (K,) float weights in {0, 1}: up to batch_size*fraction
-    foreground plus background to fill. Deterministic top-index choice
-    replaces the reference sampler's randperm
-    (lib/modeling/relpn/sampler.py:3-66 is the same maskrcnn pattern).
+    foreground plus background to fill. Replaces the reference sampler's
+    randperm (lib/modeling/relpn/sampler.py:3-66 is the same maskrcnn
+    pattern) with a deterministic choice: HIGHEST-`priority` elements
+    when a priority is given (hard-example mining), raster index order
+    otherwise (note: index order is spatially biased toward low anchor
+    indices whenever candidates exceed the budget — prefer passing a
+    priority).
     """
     num_pos = int(batch_size * positive_fraction)
     is_fg = labels == 1.0
     is_bg = labels == 0.0
-    fg_rank = jnp.where(is_fg, jnp.cumsum(is_fg), 10**9)
-    take_fg = is_fg & (fg_rank <= num_pos)
+
+    def take(mask, budget):
+        if priority is None:
+            rank = jnp.where(mask, jnp.cumsum(mask), 10**9)
+            return mask & (rank <= budget)
+        key = jnp.where(mask, priority, -jnp.inf)
+        order = jnp.argsort(-key)  # descending priority
+        rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+        return mask & (rank < budget)
+
+    take_fg = take(is_fg, num_pos)
     n_fg = jnp.sum(take_fg)
-    bg_rank = jnp.where(is_bg, jnp.cumsum(is_bg), 10**9)
-    take_bg = is_bg & (bg_rank <= batch_size - n_fg)
+    take_bg = take(is_bg, batch_size - n_fg)
     return (take_fg | take_bg).astype(jnp.float32)
 
 
@@ -139,8 +154,15 @@ def rpn_loss(
     batch_size: int = 256,
     positive_fraction: float = 0.5,
 ):
-    """(objectness BCE, smooth-L1 box loss) over the sampled anchors."""
-    weights = sample_targets(targets.labels, batch_size, positive_fraction)
+    """(objectness BCE, smooth-L1 box loss) over the sampled anchors.
+
+    Sampling priority = hardness: low-scoring foreground and high-scoring
+    background anchors first (deterministic hard-example mining in place
+    of the reference's randperm)."""
+    hardness = jnp.where(targets.labels == 1.0, -logits, logits)
+    weights = sample_targets(
+        targets.labels, batch_size, positive_fraction, priority=hardness
+    )
     bce = optax.sigmoid_binary_cross_entropy(
         logits, jnp.clip(targets.labels, 0.0, 1.0)
     )

@@ -76,7 +76,7 @@ PyObject* cubic_iou(PyObject*, PyObject* args) {
     for (Py_ssize_t f = 0; f < t; ++f) vol_b[j] += box_area(pb + (j * t + f) * 4);
 
   PyObject* out = PyByteArray_FromStringAndSize(nullptr, n * m * sizeof(double));
-  if (!out) return nullptr;
+  if (!out) return nullptr;  // allocation failure
   double* po = reinterpret_cast<double*>(PyByteArray_AS_STRING(out));
   for (Py_ssize_t i = 0; i < n; ++i) {
     for (Py_ssize_t j = 0; j < m; ++j) {
@@ -106,6 +106,11 @@ PyObject* viou(PyObject*, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "expected (t,4) boxes");
     return nullptr;
   }
+  if (a.view.shape[0] != ea - sa || b.view.shape[0] != eb - sb) {
+    PyErr_SetString(PyExc_ValueError,
+                    "trajectory length does not match its duration");
+    return nullptr;
+  }
   const double* pa = a.data();
   const double* pb = b.data();
   const long long s = std::max(sa, sb), e = std::min(ea, eb);
@@ -128,18 +133,44 @@ PyObject* viou_matrix(PyObject*, PyObject* args) {
     return nullptr;
   Buffer ab, bb;
   if (!ab.acquire(ab_obj) || !bb.acquire(bb_obj)) return nullptr;
-  Py_buffer ao{}, ad{}, bo{}, bd{};
-  if (PyObject_GetBuffer(ao_obj, &ao, PyBUF_C_CONTIGUOUS) != 0) return nullptr;
-  if (PyObject_GetBuffer(ad_obj, &ad, PyBUF_C_CONTIGUOUS) != 0) return nullptr;
-  if (PyObject_GetBuffer(bo_obj, &bo, PyBUF_C_CONTIGUOUS) != 0) return nullptr;
-  if (PyObject_GetBuffer(bd_obj, &bd, PyBUF_C_CONTIGUOUS) != 0) return nullptr;
-  const int64_t* a_off = static_cast<const int64_t*>(ao.buf);
-  const int64_t* a_dur = static_cast<const int64_t*>(ad.buf);
-  const int64_t* b_off = static_cast<const int64_t*>(bo.buf);
-  const int64_t* b_dur = static_cast<const int64_t*>(bd.buf);
-  const Py_ssize_t na = ao.len / 8 - 1, nb = bo.len / 8 - 1;
+  // RAII for the int64 side buffers so every exit path releases them
+  struct IntBuf {
+    Py_buffer view{};
+    bool ok = false;
+    ~IntBuf() {
+      if (ok) PyBuffer_Release(&view);
+    }
+    bool acquire(PyObject* obj) {
+      ok = PyObject_GetBuffer(obj, &view, PyBUF_C_CONTIGUOUS) == 0;
+      return ok;
+    }
+    const int64_t* data() const { return static_cast<const int64_t*>(view.buf); }
+  } ao, ad, bo, bd;
+  if (!ao.acquire(ao_obj) || !ad.acquire(ad_obj) || !bo.acquire(bo_obj) ||
+      !bd.acquire(bd_obj))
+    return nullptr;
+  const int64_t* a_off = ao.data();
+  const int64_t* a_dur = ad.data();
+  const int64_t* b_off = bo.data();
+  const int64_t* b_dur = bd.data();
+  const Py_ssize_t na = ao.view.len / 8 - 1, nb = bo.view.len / 8 - 1;
   const double* pa = ab.data();
   const double* pb = bb.data();
+  // validate: offsets consistent with durations and within the box buffers
+  for (Py_ssize_t i = 0; i < na; ++i) {
+    if (a_off[i + 1] - a_off[i] != a_dur[i * 2 + 1] - a_dur[i * 2] ||
+        a_off[i + 1] * 4 * (Py_ssize_t)sizeof(double) > ab.view.len) {
+      PyErr_SetString(PyExc_ValueError, "set A: offsets/durations mismatch");
+      return nullptr;
+    }
+  }
+  for (Py_ssize_t j = 0; j < nb; ++j) {
+    if (b_off[j + 1] - b_off[j] != b_dur[j * 2 + 1] - b_dur[j * 2] ||
+        b_off[j + 1] * 4 * (Py_ssize_t)sizeof(double) > bb.view.len) {
+      PyErr_SetString(PyExc_ValueError, "set B: offsets/durations mismatch");
+      return nullptr;
+    }
+  }
 
   std::vector<double> vol_a(na, 0.0), vol_b(nb, 0.0);
   for (Py_ssize_t i = 0; i < na; ++i)
@@ -151,6 +182,7 @@ PyObject* viou_matrix(PyObject*, PyObject* args) {
 
   PyObject* out =
       PyByteArray_FromStringAndSize(nullptr, na * nb * sizeof(double));
+  if (!out) return nullptr;
   double* po = reinterpret_cast<double*>(PyByteArray_AS_STRING(out));
   for (Py_ssize_t i = 0; i < na; ++i) {
     const int64_t sa = a_dur[i * 2], ea = a_dur[i * 2 + 1];
@@ -170,11 +202,7 @@ PyObject* viou_matrix(PyObject*, PyObject* args) {
       po[i * nb + j] = v;
     }
   }
-  PyBuffer_Release(&ao);
-  PyBuffer_Release(&ad);
-  PyBuffer_Release(&bo);
-  PyBuffer_Release(&bd);
-  return out;
+  return out;  // IntBuf destructors release the side buffers
 }
 
 PyMethodDef methods[] = {

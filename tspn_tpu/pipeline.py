@@ -94,7 +94,13 @@ def _segment_tracklets(
     fend: int,
     min_coverage: float = 1.0,
 ) -> List[Trajectory]:
-    """Cut whole-video tracks into fully-covering segment tracklets."""
+    """Cut whole-video tracks into segment tracklets.
+
+    Tracks present in at least min_coverage of the segment's frames are
+    kept; frames where the track is invisible are filled by holding the
+    nearest visible box (the tracklet must still span the full segment
+    for the pair-feature layout).
+    """
     tlwh = track_out["tlwh"][fstart:fend]          # (S, K, 4)
     ids = track_out["track_id"][fstart:fend]       # (S, K)
     visible = track_out["visible"][fstart:fend]    # (S, K)
@@ -103,25 +109,32 @@ def _segment_tracklets(
     trajs = []
     for tid in np.unique(ids[visible]):
         present = (ids == tid) & visible  # (S, K)
-        if present.sum() < min_coverage * s:
+        frames_seen = int(present.any(axis=1).sum())
+        if frames_seen < min_coverage * s or frames_seen == 0:
             continue
-        # slot of this track per frame (tracks keep their slot, but be safe)
         boxes = np.zeros((s, 4))
+        seen = np.zeros(s, bool)
         cls_acc = None
-        ok = True
         for f in range(s):
             slots = np.flatnonzero(present[f])
             if len(slots) == 0:
-                ok = False
-                break
+                continue
             k = slots[0]
             x, y, w, h = tlwh[f, k]
             boxes[f] = [x, y, x + w, y + h]
+            seen[f] = True
             c = classemes[f, k]
             cls_acc = c if cls_acc is None else cls_acc + c
-        if not ok:
-            continue
-        classeme = (cls_acc / s).tolist()
+        # hold the nearest visible box across gaps
+        last = None
+        for f in range(s):
+            if seen[f]:
+                last = boxes[f]
+            elif last is not None:
+                boxes[f] = last
+        first_seen = int(np.flatnonzero(seen)[0])
+        boxes[:first_seen] = boxes[first_seen]
+        classeme = (cls_acc / frames_seen).tolist()
         trajs.append(
             Trajectory(
                 pstart=0, pend=s, rois=boxes, score=1.0,

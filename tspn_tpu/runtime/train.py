@@ -73,8 +73,6 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
     model = build_model(cfg)
     rng = jax.random.PRNGKey(cfg.ETC.RANDOM_SEED)
     init_bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
-    state = None  # created lazily so the optimizer sees real param shapes
-    optimizer = None
     step_fns = {}
 
     meters = MetricLogger()
@@ -84,31 +82,35 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
     max_iter = cfg.SOLVER.MAX_ITER
     start_iter = 0
 
-    end = time.time()
-    for iteration, (bucket, batch, _indices) in enumerate(loader):
-        data_time = time.time() - end
-        if state is None:
-            params = model.init(rng, _example_batch(init_bucket, 1, cfg))["params"]
-            optimizer, _ = build_optimizer(cfg, params)
+    params = model.init(rng, _example_batch(init_bucket, 1, cfg))["params"]
+    optimizer, _ = build_optimizer(cfg, params)
+    state = TrainState(
+        step=np.zeros((), np.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+    if resume:
+        ckpt_path = latest_checkpoint(get_model_path(), model_name)
+        if ckpt_path:
+            restored = load_checkpoint(ckpt_path, state.params, state.opt_state)
             state = TrainState(
-                step=np.zeros((), np.int32),
-                params=params,
-                opt_state=optimizer.init(params),
+                step=np.asarray(restored["step"], np.int32),
+                params=restored["params"],
+                opt_state=restored["opt_state"],
             )
-            if resume:
-                ckpt_path = latest_checkpoint(get_model_path(), model_name)
-                if ckpt_path:
-                    restored = load_checkpoint(ckpt_path, state.params, state.opt_state)
-                    state = TrainState(
-                        step=np.asarray(restored["step"], np.int32),
-                        params=restored["params"],
-                        opt_state=restored["opt_state"],
-                    )
-                    start_iter = restored["step"]
-                    logger.info(f"resumed from {ckpt_path} at iter {start_iter}")
-            state = jax.device_put(
-                state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-            )
+            start_iter = restored["step"]
+            logger.info(f"resumed from {ckpt_path} at iter {start_iter}")
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+
+    end = time.time()
+    global_iter = start_iter
+    for iteration, (bucket, batch, _indices) in enumerate(loader):
+        global_iter = start_iter + iteration
+        if global_iter >= max_iter:
+            break  # resumed runs finish at MAX_ITER total, not +MAX_ITER
+        data_time = time.time() - end
         if bucket not in step_fns:
             step_fns[bucket] = make_train_step(
                 model, optimizer, mesh=mesh, data_axis=cfg.MESH.DATA_AXIS
@@ -124,11 +126,11 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
 
         if iteration % display_freq == 0 and rank == 0:
             logger.info(
-                f"[{iteration + 1}/{max_iter}]  {meters}  "
-                f"eta: {eta_string(meters.time.global_avg, iteration, max_iter)}"
+                f"[{global_iter + 1}/{max_iter}]  {meters}  "
+                f"eta: {eta_string(meters.time.global_avg, global_iter, max_iter)}"
             )
-        if (iteration + 1) % save_freq == 0 and rank == 0:
-            _save(cfg, state, meters, model_name, iteration + 1, logger)
+        if (global_iter + 1) % save_freq == 0 and rank == 0:
+            _save(cfg, state, meters, model_name, global_iter + 1, logger)
 
     if rank == 0 and state is not None:
         _save(cfg, state, meters, model_name, max_iter, logger)

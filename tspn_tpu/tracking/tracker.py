@@ -260,9 +260,13 @@ def tracker_step(
 
     # ---- initiate new tracks for unmatched detections in free slots
     free_slot = st.state == EMPTY
-    # rank free slots and unmatched detections; pair them in order
-    slot_rank = jnp.where(free_slot, jnp.cumsum(free_slot) - 1, k + 1)
-    det_rank = jnp.where(det_free, jnp.cumsum(det_free) - 1, k + 2)
+    # rank free slots and unmatched detections; pair them in order.
+    # sentinels must be DISTINCT negatives: valid ranks are >= 0, and a
+    # shared / reachable sentinel (e.g. k+1) collides with a real
+    # detection rank once > k+1 detections are unmatched, wiping every
+    # occupied slot
+    slot_rank = jnp.where(free_slot, jnp.cumsum(free_slot) - 1, -1)
+    det_rank = jnp.where(det_free, jnp.cumsum(det_free) - 1, -2)
     # slot with rank r takes detection with rank r
     take = slot_rank[:, None] == det_rank[None, :]  # (K, D)
     takes_det = jnp.any(take, axis=1)
