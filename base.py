@@ -79,11 +79,45 @@ def training(cfg, args, data_dir):
     from tspn_tpu.runtime.train import train
 
     train(cfg, basedata, resume=args.resume)
+    if cfg.RELPN.USE_DPN:
+        # phase 2 of the full TSPN: the video-level span model ("when to
+        # look") trains on pair sequences after the segment model
+        from tspn_tpu.runtime.span_train import train_span_model
+
+        train_span_model(cfg, basedata)
 
 
 def detect(cfg, args, data_dir):
     basedata = _build_basedata(args, data_dir)
     logger = setup_logger("detect", "logs", 0, f"{get_timestamp()}_detect.txt")
+
+    if cfg.RELPN.USE_DPN:
+        # span mode: DPN proposes durations directly; no greedy association
+        from tspn_tpu.data.segments import get_model_path as _mp
+        from tspn_tpu.data.video_pairs import build_video_pair_record
+        from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+        from tspn_tpu.runtime.checkpoint import latest_checkpoint
+        from tspn_tpu.runtime.span_predict import detect_spans
+        from tspn_tpu.runtime.span_train import load_span_model
+
+        seg_ds = SegmentDataset(cfg, basedata, phase="test")
+        vid0 = seg_ds.index[0][0]
+        example = build_video_pair_record(
+            basedata, seg_ds, vid0,
+            feature_dim=effective_feature_dim(cfg),
+            num_objects=cfg.PREDICT.OBJECT_NUM,
+        )
+        ckpt = latest_checkpoint(_mp(), f"{cfg.MODEL.NAME}_span")
+        assert ckpt, "no span checkpoint found; run --train with USE_DPN first"
+        model, params = load_span_model(cfg, example, ckpt)
+        logger.info(f"span-mode detection with {ckpt}")
+        video_relations = detect_spans(cfg, basedata, model, params, logger=logger)
+        out_path = os.path.join(get_model_path(), "baseline_relation_prediction.json")
+        with open(out_path, "w") as f:
+            json.dump({"version": "VERSION 1.0", "results": video_relations}, f)
+        logger.info(f"wrote {out_path}")
+        return
+
     from tspn_tpu.runtime.predict import predict
 
     logger.info("predict short term relations")

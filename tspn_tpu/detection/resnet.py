@@ -56,8 +56,11 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.bottleneck_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.relu(FrozenAffine(dtype=self.dtype, name="norm1")(y))
+        # explicit (1,1) padding = torch Conv2d(pad=1); XLA "SAME" at
+        # stride 2 pads (0,1), shifting windows vs pretrained torch weights
         y = nn.Conv(self.bottleneck_channels, (3, 3), strides=self.stride,
-                    padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.relu(FrozenAffine(dtype=self.dtype, name="norm2")(y))
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv3")(y)

@@ -109,4 +109,33 @@ def train_span_model(
         end = time.time()
         if it % max(cfg.ETC.DISPLAY_FREQ * 20, 20) == 0:
             logger.info(f"[span {it + 1}/{max_iter}]  {meters}")
+
+    from tspn_tpu.data.segments import get_model_path
+    import os
+
+    from tspn_tpu.runtime.checkpoint import save_checkpoint
+
+    path = os.path.join(
+        get_model_path(), f"{cfg.MODEL.NAME}_span_weights_iter_{max_iter}.pt"
+    )
+    save_checkpoint(path, params, opt_state, step=max_iter,
+                    loss=meters.loss.global_avg if "loss" in meters.meters else 0.0)
+    logger.info(f"span checkpoint saved: {path}")
     return model, params
+
+
+def load_span_model(cfg, example_record: VideoPairRecord, checkpoint_path: str):
+    """Rebuild SpanTSPN + params from a checkpoint."""
+    import jax
+
+    from tspn_tpu.runtime.checkpoint import load_checkpoint
+
+    model = build_span_model(cfg)
+    batch = record_to_batch(example_record)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["seq_feats"]), jnp.asarray(batch["seq_mask"]),
+        method=SpanTSPN.init_all,
+    )["params"]
+    restored = load_checkpoint(checkpoint_path, params)
+    return model, restored["params"]
