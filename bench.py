@@ -112,7 +112,7 @@ def main():
             c = ref_one(seg, w32, b32, jnp.float32(tag * segments + s), c)
         return c
 
-    t_ref = _time_chained_unique(ref_step, iters=3, warmup=1)
+    t_ref = _time_chained_unique(ref_step, iters=5, warmup=1)
     ref_pairs_per_sec = p_total / t_ref
 
     print(json.dumps({

@@ -50,6 +50,7 @@ class BucketedLoader:
         world_size: int = 1,
         prefetch: int = 2,
         include_records: bool = False,
+        feats_dtype=None,
     ):
         self.dataset = dataset
         self.buckets = sorted(buckets)
@@ -64,6 +65,9 @@ class BucketedLoader:
         self.world_size = world_size
         self.prefetch = prefetch
         self.include_records = include_records
+        import numpy as _np
+
+        self.feats_dtype = feats_dtype or _np.float32
         # bucket assignment is static per segment: probe proposal counts
         # once via the cheap trackid-only read (a full load_segment here
         # would read + label-match every h5 twice per epoch on the
@@ -117,7 +121,8 @@ class BucketedLoader:
     def _assemble(self, bucket: int, idxs: List[int]):
         records = [self.dataset.load_segment(i) for i in idxs]
         padded = [
-            pad_record(r, bucket, self.num_predicates, self.num_objects, self.feature_dim)
+            pad_record(r, bucket, self.num_predicates, self.num_objects,
+                       self.feature_dim, feats_dtype=self.feats_dtype)
             for r in records
         ]
         out = (bucket, stack_records(padded), [r.index for r in records])

@@ -190,6 +190,17 @@ class SegmentDataset:
 # Fixed-shape padding for XLA
 # ---------------------------------------------------------------------------
 
+def effective_feats_dtype(cfg):
+    """Host-side feature dtype for SegmentBatch leaves: bfloat16 when the
+    model computes in bf16 (halves host->device transfer of the dominant
+    tensor), float32 otherwise."""
+    if cfg.MODEL.get("DTYPE", "float32") == "bfloat16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return np.float32
+
+
 def effective_feature_dim(cfg) -> int:
     """Per-pair feature width as stored in SegmentBatch leaves: the raw
     11070 storage layout, or the aligned 11264 device layout when the
@@ -216,6 +227,7 @@ def pad_record(
     num_predicates: int,
     num_objects: int,
     feature_dim: int,
+    feats_dtype=np.float32,
 ) -> Dict[str, np.ndarray]:
     """Pad one SegmentRecord to a fixed (n_bucket) tracklet capacity.
 
@@ -237,7 +249,7 @@ def pad_record(
     labels_src = record.labels[keep]
     p = min(feats_src.shape[0], p_max)
 
-    feats = np.zeros((p_max, d), dtype=np.float32)
+    feats = np.zeros((p_max, d), dtype=feats_dtype)
     pairs = np.zeros((p_max, 2), dtype=np.int32)
     labels = np.zeros((p_max, num_predicates), dtype=np.float32)
     pair_mask = np.zeros((p_max,), dtype=np.float32)

@@ -32,7 +32,11 @@ import numpy as np
 
 from tspn_tpu.data.loader import BucketedLoader
 from tspn_tpu.data.segments import get_model_path
-from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+from tspn_tpu.data.vrdataset import (
+    SegmentDataset,
+    effective_feats_dtype,
+    effective_feature_dim,
+)
 from tspn_tpu.models.tspn import build_model
 from tspn_tpu.runtime.checkpoint import load_checkpoint
 from tspn_tpu.runtime.logging_utils import setup_logger
@@ -93,6 +97,7 @@ def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
         buckets=cfg.BUCKETS.NUM_TRACKLETS,
         batch_size=cfg.DATASET.TEST_BATCH_SIZE,
         feature_dim=effective_feature_dim(cfg),
+        feats_dtype=effective_feats_dtype(cfg),
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
         num_objects=cfg.PREDICT.OBJECT_NUM,
         max_iter=None,

@@ -20,7 +20,11 @@ import numpy as np
 
 from tspn_tpu.data.loader import BucketedLoader
 from tspn_tpu.data.segments import get_model_path
-from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+from tspn_tpu.data.vrdataset import (
+    SegmentDataset,
+    effective_feats_dtype,
+    effective_feature_dim,
+)
 from tspn_tpu.models.tspn import build_model
 from tspn_tpu.parallel.mesh import make_mesh, shard_batch
 from tspn_tpu.parallel.train_step import TrainState, make_train_step
@@ -61,6 +65,7 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
         buckets=cfg.BUCKETS.NUM_TRACKLETS,
         batch_size=batch_size,
         feature_dim=effective_feature_dim(cfg),
+        feats_dtype=effective_feats_dtype(cfg),
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
         num_objects=cfg.PREDICT.OBJECT_NUM,
         max_iter=cfg.SOLVER.MAX_ITER,
