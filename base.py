@@ -100,12 +100,20 @@ def detect(cfg, args, data_dir):
         from tspn_tpu.runtime.span_predict import detect_spans
         from tspn_tpu.runtime.span_train import load_span_model
 
-        seg_ds = SegmentDataset(cfg, basedata, phase="test")
-        vid0 = seg_ds.index[0][0]
-        example = build_video_pair_record(
-            basedata, seg_ds, vid0,
-            feature_dim=effective_feature_dim(cfg),
-            num_objects=cfg.PREDICT.OBJECT_NUM,
+        seg_ds = SegmentDataset(cfg, basedata, phase=basedata.infer_test_split())
+        assert seg_ds.index, "no test segments with cached features found"
+        example = None
+        for vid0 in dict.fromkeys(ix[0] for ix in seg_ds.index):
+            example = build_video_pair_record(
+                basedata, seg_ds, vid0,
+                feature_dim=effective_feature_dim(cfg),
+                num_objects=cfg.PREDICT.OBJECT_NUM,
+            )
+            if example is not None:
+                break
+        assert example is not None, (
+            "no test video yields proposal pair sequences; cannot build "
+            "the span model template"
         )
         ckpt = latest_checkpoint(_mp(), f"{cfg.MODEL.NAME}_span")
         assert ckpt, "no span checkpoint found; run --train with USE_DPN first"

@@ -110,3 +110,38 @@ def test_fused_training_learns(fused_cfg, synthetic_dataset):
         state, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.7
+
+
+def test_fused_span_records_and_loss(fused_cfg, synthetic_dataset):
+    """Span pipeline under FUSED_CLASSIFIER: device-layout sequences feed
+    the span model end to end (review regression)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tspn_tpu.data.video_pairs import build_video_pair_record
+    from tspn_tpu.models.span_tspn import SpanTSPN, span_tspn_loss
+    from tspn_tpu.runtime.span_train import build_span_model, record_to_batch
+
+    cfg = fused_cfg.clone()
+    cfg.PREDICT.PREDICATE_NUM = synthetic_dataset.get_predicate_num()
+    seg_ds = SegmentDataset(cfg, synthetic_dataset, phase="train")
+    vid = sorted({ix[0] for ix in seg_ds.index})[0]
+    rec = build_video_pair_record(
+        synthetic_dataset, seg_ds, vid,
+        feature_dim=effective_feature_dim(cfg),
+        num_objects=cfg.PREDICT.OBJECT_NUM,
+    )
+    assert rec.seq_feats.shape[2] == DEVICE_DIM
+    model = build_span_model(cfg)
+    batch = {k: jnp.asarray(v) for k, v in record_to_batch(rec).items()}
+    params = model.init(
+        jax.random.PRNGKey(0), batch["seq_feats"], batch["seq_mask"],
+        method=SpanTSPN.init_all,
+    )["params"]
+    losses = span_tspn_loss(model, params, batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_infer_test_split(synthetic_dataset):
+    assert synthetic_dataset.infer_test_split() == "test"

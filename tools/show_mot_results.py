@@ -50,12 +50,19 @@ def render_sequence(
             draw.text((x + 2, y + 2), str(tid), fill=color)
         img.save(os.path.join(out_dir, fname))
         count += 1
-    if video_out and shutil.which("ffmpeg"):
-        subprocess.run(
-            ["ffmpeg", "-y", "-framerate", str(fps), "-i",
-             os.path.join(out_dir, "%05d.jpg"), "-pix_fmt", "yuv420p", video_out],
-            check=True, capture_output=True,
+        last_name = fname
+    if video_out and count and shutil.which("ffmpeg"):
+        # derive the input pattern from the actual frame names (MOT16/17
+        # uses six digits, other dumps five; extensions vary)
+        stem, ext = os.path.splitext(last_name)
+        pattern = os.path.join(out_dir, f"%0{len(stem)}d{ext}")
+        proc = subprocess.run(
+            ["ffmpeg", "-y", "-framerate", str(fps), "-i", pattern,
+             "-pix_fmt", "yuv420p", video_out],
+            capture_output=True,
         )
+        if proc.returncode != 0:
+            raise RuntimeError(f"ffmpeg failed: {proc.stderr.decode()[-500:]}")
     return count
 
 

@@ -106,6 +106,15 @@ class AnnotationDataset:
         return self.pred2pid[name]
 
     # --------------------------------------------------------------- access
+    def infer_test_split(self) -> str:
+        """The evaluation split's actual name: 'test' when resolvable
+        (VidVRD), otherwise 'validation' (VidOR's naming)."""
+        try:
+            self.get_index("test")
+            return "test"
+        except KeyError:
+            return "validation"
+
     def get_index(self, split: str) -> List[str]:
         """Video ids of a split, with substring-based name inference."""
         if split in self.split_index:

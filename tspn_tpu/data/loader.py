@@ -153,9 +153,19 @@ class BucketedLoader:
                             continue
                     count[0] += 1
             except BaseException as exc:  # surface IO errors to the consumer
-                q.put(("__loader_error__", exc))
+                _put_or_stop(("__loader_error__", exc))
                 return
-            q.put(sentinel)
+            _put_or_stop(sentinel)
+
+        def _put_or_stop(item):
+            # never block indefinitely: an early-exiting consumer leaves
+            # the bounded queue full and only sets `stop`
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -78,7 +78,7 @@ class SegmentDataset:
         self.fused = bool(cfg.MODEL.get("FUSED_CLASSIFIER", False))
 
         self.gt_rel_insts: Dict[SegmentIndex, List[tuple]] = {}
-        is_train = phase == "train" or "train" in phase  # 'training' too
+        is_train = "train" in phase  # 'train' and VidOR's 'training'
         for vid in dataset.get_index(split=phase):
             anno = None if is_train else dataset.get_anno(vid)
             for rel in dataset.get_relation_insts(vid, no_traj=True):

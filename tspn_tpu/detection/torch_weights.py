@@ -22,7 +22,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from tspn_tpu.models.resnet3d_defs import RESNET_DEPTHS
+from tspn_tpu.detection.resnet import RESNET_DEPTHS
 
 BN_EPS = 1e-5
 

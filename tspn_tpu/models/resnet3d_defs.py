@@ -1,8 +1,4 @@
-"""Shared stage-depth table for 2-D and inflated 3-D ResNets."""
+"""Stage-depth table shared by 2-D and inflated 3-D ResNets (re-exported
+from the detection backbone — single source of truth)."""
 
-RESNET_DEPTHS = {
-    26: (1, 1, 1, 1),
-    50: (3, 4, 6, 3),
-    101: (3, 4, 23, 3),
-    152: (3, 8, 36, 3),
-}
+from tspn_tpu.detection.resnet import RESNET_DEPTHS  # noqa: F401

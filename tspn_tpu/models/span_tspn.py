@@ -35,6 +35,9 @@ class SpanTSPN(nn.Module):
     num_duration_proposals: int = 64
     nms_threshold: float = 0.5
     frames_per_step: float = 15.0    # segment stride
+    # True when sequences carry RAW device-layout features (the fused
+    # classifier normalizes its span-pooled input on device)
+    fused_classifier: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -48,7 +51,9 @@ class SpanTSPN(nn.Module):
             dtype=self.dtype,
         )
         self.classifier = RelationPredictor(
-            num_predicates=self.num_predicates, dtype=self.dtype
+            num_predicates=self.num_predicates,
+            fused=self.fused_classifier,
+            dtype=self.dtype,
         )
 
     def __call__(self, seq_feats: jnp.ndarray, seq_mask: jnp.ndarray):

@@ -161,7 +161,7 @@ def predict(cfg, basedata, logger=None):
     if logger is None:
         logger = setup_logger("detect", save_dir="logs")
     model = build_model(cfg)
-    dataset = SegmentDataset(cfg, basedata, phase="test")
+    dataset = SegmentDataset(cfg, basedata, phase=basedata.infer_test_split())
     assert len(dataset) > 0, "no test segments with cached features found"
 
     # template init for checkpoint restore

@@ -58,9 +58,11 @@ def predict_video_relations(
     max_pairs: int = 64,
 ) -> List[dict]:
     """-> serialized relation dicts (triplet/score/duration/trajs)."""
+    from tspn_tpu.data.vrdataset import effective_feature_dim
+
     record = build_video_pair_record(
         dataset, seg_dataset, vid, max_pairs=max_pairs,
-        feature_dim=seg_dataset.cfg.PREDICT.FEATURE_DIM,
+        feature_dim=effective_feature_dim(seg_dataset.cfg),
         num_objects=seg_dataset.num_objects,
     )
     if record is None:
@@ -136,9 +138,10 @@ def detect_spans(
     cfg, dataset, model: SpanTSPN, params, logger=None
 ) -> Dict[str, List[dict]]:
     """All test videos -> {vid: [relation dicts]} (prediction JSON body)."""
-    seg_dataset = SegmentDataset(cfg, dataset, phase="test")
+    test_split = dataset.infer_test_split()
+    seg_dataset = SegmentDataset(cfg, dataset, phase=test_split)
     results = {}
-    for vid in dataset.get_index("test"):
+    for vid in dataset.get_index(test_split):
         results[vid] = predict_video_relations(
             dataset, seg_dataset, model, params, vid,
             top_per_video=cfg.PREDICT.TOPK_PER_SEG,

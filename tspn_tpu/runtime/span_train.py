@@ -43,6 +43,7 @@ def build_span_model(cfg) -> SpanTSPN:
         anchor_stride=float(cfg.RELPN.DPN.ANCHOR_STRIDE),
         num_duration_proposals=cfg.RELPN.DPN.NUM_DURATION_PROPOSALS,
         nms_threshold=cfg.RELPN.DPN.NMS_THRESHOLD,
+        fused_classifier=bool(cfg.MODEL.get("FUSED_CLASSIFIER", False)),
     )
 
 
@@ -61,13 +62,15 @@ def train_span_model(
     S like the segment loader's buckets)."""
     if logger is None:
         logger = setup_logger("span_train", save_dir="logs")
+    from tspn_tpu.data.vrdataset import effective_feature_dim
+
     seg_dataset = SegmentDataset(cfg, dataset, phase="train")
     vids = sorted({ix[0] for ix in seg_dataset.index})
     records: List[VideoPairRecord] = []
     for vid in vids:
         rec = build_video_pair_record(
             dataset, seg_dataset, vid,
-            feature_dim=cfg.PREDICT.FEATURE_DIM,
+            feature_dim=effective_feature_dim(cfg),
             num_objects=cfg.PREDICT.OBJECT_NUM,
         )
         if rec is not None and rec.gt_mask.sum() > 0:
