@@ -106,3 +106,42 @@ def test_gt_segment_tracklets(synthetic_dataset):
         assert g.rois.shape == (30, 4)
         assert g.gt_trackid >= 0
         assert np.argmax(g.classeme) == g.category
+
+
+def test_object_prediction_export_and_eval(fake_detections, synthetic_dataset):
+    """Tracker outputs -> object prediction JSON -> eval_video_object."""
+    import numpy as np
+
+    from tools.export_object_predictions import tracks_to_object_predictions
+    from tspn_tpu.data.vocab import VIDVRD_OBJECTS
+    from tspn_tpu.evaluation import eval_video_object
+
+    vid, dets = fake_detections
+    outs = tracks_from_detections(dets)
+    t, k = outs["track_id"].shape
+    classemes = np.zeros((t, k, 35), np.float32)
+    for f in range(t):
+        for slot in np.flatnonzero(outs["visible"][f]):
+            tb = outs["tlwh"][f, slot]
+            tc = tb[:2] + tb[2:] / 2
+            db = dets["boxes"][f]
+            centers = (db[:, :2] + db[:, 2:]) / 2
+            classemes[f, slot] = dets["classeme"][f][
+                np.argmin(((centers - tc) ** 2).sum(-1))
+            ]
+    # class-name table must match the classeme id space: the synthetic
+    # dataset's sorted vocab (on real VidVRD this IS VIDVRD_OBJECTS)
+    names = [
+        synthetic_dataset.get_object_name(i)
+        for i in range(synthetic_dataset.get_object_num())
+    ] + VIDVRD_OBJECTS[synthetic_dataset.get_object_num():]
+    preds = tracks_to_object_predictions(outs, classemes, names)
+    assert len(preds) == 3  # the three tracked GT objects
+    for p in preds:
+        assert set(p) == {"category", "score", "trajectory"}
+        assert len(p["trajectory"]) > 50
+
+    gt = {vid: synthetic_dataset.get_object_insts(vid)}
+    mean_ap, ap_class = eval_video_object(gt, {vid: preds}, verbose=False)
+    # jittered GT detections tracked well -> high object mAP
+    assert mean_ap > 0.6, (mean_ap, ap_class)
