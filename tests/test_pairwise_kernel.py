@@ -70,3 +70,47 @@ def test_pallas_handles_non_tile_multiple_rows(rng):
     expected = l1_normalize_bow_blocks(feats) @ w
     assert got.shape == (7, 5)
     assert np.allclose(got, expected, atol=2e-4)
+
+
+def test_fused_custom_vjp_matches_autodiff(rng):
+    """Gradients of the Pallas-forward custom-VJP path equal jax.grad of
+    the XLA device-layout formulation."""
+    import jax
+
+    from tspn_tpu.ops.pairwise import (
+        normalize_classify_device,
+        normalize_classify_fused,
+        to_device_layout,
+        weights_to_device_layout,
+    )
+
+    p, r = 12, 6
+    feats = (rng.rand(p, FEATURE_DIM) * (rng.rand(p, FEATURE_DIM) < 0.1)).astype(
+        np.float32
+    )
+    feats[:, :70] = rng.randn(p, 70)
+    feats[2, 70:1070] = 0.0  # zero block: subgradient path
+    x = jnp.asarray(to_device_layout(feats))
+    w = jnp.asarray(weights_to_device_layout(
+        (rng.randn(FEATURE_DIM, r) * 0.01).astype(np.float32)))
+    b = jnp.asarray(rng.randn(r).astype(np.float32))
+    g_out = jnp.asarray(rng.randn(p, r).astype(np.float32))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(normalize_classify_device(x, w, b) * g_out)
+
+    def loss_fused(x, w, b):
+        return jnp.sum(normalize_classify_fused(x, w, b) * g_out)
+
+    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    fused_grads = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(ref_grads, fused_grads):
+        assert np.allclose(np.asarray(a), np.asarray(c), atol=2e-3), (
+            np.abs(np.asarray(a) - np.asarray(c)).max()
+        )
+    # forward values agree too
+    assert np.allclose(
+        np.asarray(normalize_classify_fused(x, w, b)),
+        np.asarray(normalize_classify_device(x, w, b)),
+        atol=2e-3,
+    )

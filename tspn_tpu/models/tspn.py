@@ -31,6 +31,11 @@ class RelationPredictor(nn.Module):
 
     num_predicates: int
     fused: bool = False
+    # inference-built models route through the Pallas forward kernel on
+    # TPU (1.3-1.4x the XLA path); training keeps the XLA formulation —
+    # XLA's end-to-end autodiff beats the Pallas-forward custom VJP
+    # (measured 30 vs 58 ms/step at bucket 32, batch 8)
+    inference: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -43,13 +48,23 @@ class RelationPredictor(nn.Module):
                 dtype=self.dtype,
                 name="rel_predictor",
             )(feats)
-        from tspn_tpu.ops.pairwise import DEVICE_DIM, normalize_classify_device
+        import jax
+
+        from tspn_tpu.ops.pairwise import (
+            DEVICE_DIM,
+            normalize_classify_device,
+            normalize_classify_pallas,
+        )
 
         kernel = self.param(
             "kernel", nn.initializers.normal(stddev=0.01),
             (DEVICE_DIM, self.num_predicates),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.num_predicates,))
+        if self.inference and jax.default_backend() != "cpu":
+            flat = feats.reshape(-1, DEVICE_DIM).astype(self.dtype)
+            out = normalize_classify_pallas(flat, kernel.astype(self.dtype), bias)
+            return out.reshape(*feats.shape[:-1], self.num_predicates)
         return normalize_classify_device(
             feats.astype(self.dtype), kernel.astype(self.dtype), bias
         )
@@ -75,6 +90,7 @@ class TSPNModel(nn.Module):
     use_ppn: bool = True
     use_dpn: bool = True
     fused_classifier: bool = False
+    inference: bool = False
     ppn_hidden: int = 64
     ppn_out: int = 35
     dpn_anchor_sizes: tuple = (15, 30, 45, 60)
@@ -87,6 +103,7 @@ class TSPNModel(nn.Module):
         self.classifier = RelationPredictor(
             num_predicates=self.num_predicates,
             fused=self.fused_classifier,
+            inference=self.inference,
             dtype=self.dtype,
         )
         if self.use_ppn:
@@ -116,10 +133,14 @@ class TSPNModel(nn.Module):
         return self.dpn(pair_seq_feats)
 
 
-def build_model(cfg) -> TSPNModel:
-    """Instantiate TSPNModel from a config tree (mirrors BaseModel(cfg))."""
+def build_model(cfg, inference: bool = False) -> TSPNModel:
+    """Instantiate TSPNModel from a config tree (mirrors BaseModel(cfg)).
+
+    inference=True routes the fused classifier through the Pallas kernel
+    on TPU (parameter trees are identical either way)."""
     dtype = jnp.bfloat16 if cfg.MODEL.DTYPE == "bfloat16" else jnp.float32
     return TSPNModel(
+        inference=inference,
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
         use_ppn=cfg.RELPN.USE_PPN,
         use_dpn=cfg.RELPN.USE_DPN,

@@ -98,11 +98,8 @@ def normalize_classify(
     return xn @ w + b
 
 
-def normalize_classify_device(
-    feats_dev: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray
-) -> jnp.ndarray:
-    """XLA path on the DEVICE layout (differentiable; used in training by
-    the fused RelationPredictor): feats (..., DEVICE_DIM) -> (..., R)."""
+def _normalize_device_layout(feats_dev: jnp.ndarray) -> jnp.ndarray:
+    """L1-normalize the aligned BoW slots of device-layout features."""
     lead = feats_dev.shape[:-1]
     head = feats_dev[..., :DEV_HEAD_PAD]
     bow = feats_dev[..., DEV_HEAD_PAD:].reshape(*lead, NUM_BLOCKS, DEV_BLOCK)
@@ -110,8 +107,62 @@ def normalize_classify_device(
     bow_n = (bow / jnp.where(denom > 0, denom, 1.0)).reshape(
         *lead, NUM_BLOCKS * DEV_BLOCK
     )
-    xn = jnp.concatenate([head, bow_n], axis=-1)
-    return xn @ w_dev + b
+    return jnp.concatenate([head, bow_n], axis=-1)
+
+
+def normalize_classify_device(
+    feats_dev: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """XLA path on the DEVICE layout (differentiable; used in training by
+    the fused RelationPredictor): feats (..., DEVICE_DIM) -> (..., R)."""
+    return _normalize_device_layout(feats_dev) @ w_dev + b
+
+
+@jax.custom_vjp
+def normalize_classify_fused(
+    feats_dev: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """Differentiable fused path: Pallas forward kernel (one HBM read of
+    the features, no normalized intermediate), analytic XLA backward.
+
+    feats_dev (P, DEVICE_DIM), w_dev (DEVICE_DIM, R), b (R,) -> (P, R).
+    """
+    return normalize_classify_pallas(feats_dev, w_dev, b)
+
+
+def _fused_fwd(feats_dev, w_dev, b):
+    return normalize_classify_pallas(feats_dev, w_dev, b), (feats_dev, w_dev)
+
+
+def _fused_bwd(residuals, g):
+    """Backward of y = N(x) @ W + b where N L1-normalizes the BoW slots.
+
+    For a block x_b with s = sum|x_b| > 0 and upstream u = g @ W^T:
+        d x_b = u / s  -  sign(x_b) * <u, x_b> / s^2
+    (head columns pass through). All matmuls — XLA fuses freely.
+    """
+    x, w = residuals
+    g = g.astype(jnp.float32)
+    xn = _normalize_device_layout(x.astype(jnp.float32))
+    dw = (xn.T @ g).astype(w.dtype)
+    db = jnp.sum(g, axis=0)
+
+    u = (g @ w.astype(jnp.float32).T)  # (P, DEVICE_DIM)
+    p = x.shape[0]
+    xb = x[..., DEV_HEAD_PAD:].astype(jnp.float32).reshape(p, NUM_BLOCKS, DEV_BLOCK)
+    ub = u[..., DEV_HEAD_PAD:].reshape(p, NUM_BLOCKS, DEV_BLOCK)
+    s = jnp.sum(jnp.abs(xb), axis=-1, keepdims=True)
+    safe = s > 0
+    s1 = jnp.where(safe, s, 1.0)
+    inner = jnp.sum(ub * xb, axis=-1, keepdims=True)
+    dxb = jnp.where(safe, ub / s1 - jnp.sign(xb) * inner / (s1 * s1), ub)
+    dx = jnp.concatenate(
+        [u[..., :DEV_HEAD_PAD], dxb.reshape(p, NUM_BLOCKS * DEV_BLOCK)], axis=-1
+    ).astype(x.dtype)
+    return dx, dw, db
+
+
+normalize_classify_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 # -------------------------------------------------------------- Pallas path

@@ -160,7 +160,7 @@ def predict(cfg, basedata, logger=None):
     """Checkpoint-loading entry point mirroring predict.py:14-41."""
     if logger is None:
         logger = setup_logger("detect", save_dir="logs")
-    model = build_model(cfg)
+    model = build_model(cfg, inference=True)
     dataset = SegmentDataset(cfg, basedata, phase=basedata.infer_test_split())
     assert len(dataset) > 0, "no test segments with cached features found"
 
