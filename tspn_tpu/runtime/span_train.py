@@ -35,6 +35,13 @@ def record_to_batch(record: VideoPairRecord) -> dict:
     }
 
 
+def stack_video_batches(records: List[VideoPairRecord]) -> dict:
+    """Stack same-segment-count videos into a leading batch dimension:
+    {key: (B, P, ...)} — SpanTSPN ops vmap over it."""
+    batches = [record_to_batch(r) for r in records]
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
 def build_span_model(cfg) -> SpanTSPN:
     return SpanTSPN(
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
@@ -54,12 +61,14 @@ def train_span_model(
     lr: float = 1e-3,
     logger=None,
     seed: int = 0,
+    videos_per_step: int = 4,
 ):
     """Train SpanTSPN over the train split's video pair records.
 
-    Returns (model, params). Videos cycle; each step consumes one video
-    (batching across videos requires equal segment counts — grouped by
-    S like the segment loader's buckets)."""
+    Returns (model, params). Videos are grouped by segment count
+    (one compiled program per S, like the segment loader's shape
+    buckets) and each step consumes up to `videos_per_step` same-S
+    videos stacked into a leading batch dimension."""
     if logger is None:
         logger = setup_logger("span_train", save_dir="logs")
     from tspn_tpu.data.vrdataset import effective_feature_dim
@@ -91,7 +100,9 @@ def train_span_model(
     @jax.jit
     def step(params, opt_state, batch):
         def loss_fn(p):
-            losses = span_tspn_loss(model, p, batch)
+            # vmap the per-video loss over the stacked video batch
+            per_video = jax.vmap(lambda b: span_tspn_loss(model, p, b))(batch)
+            losses = {k: jnp.mean(v) for k, v in per_video.items()}
             return jnp.asarray(sum(losses.values())), losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -100,12 +111,23 @@ def train_span_model(
         losses["loss"] = total
         return params, opt_state, losses
 
+    # group by segment count: one compiled program per (S, B) shape
+    groups: dict = {}
+    for rec in records:
+        groups.setdefault(rec.num_segments, []).append(rec)
+    group_keys = sorted(groups)
+
     max_iter = max_iter or cfg.SOLVER.MAX_ITER
     meters = MetricLogger()
+    rng_np = np.random.RandomState(seed)
     end = time.time()
     for it in range(max_iter):
-        batch = record_to_batch(records[it % len(records)])
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        group = groups[group_keys[it % len(group_keys)]]
+        b = min(videos_per_step, len(group))
+        picks = [group[i] for i in rng_np.choice(len(group), size=b, replace=False)]
+        batch = {
+            k: jnp.asarray(v) for k, v in stack_video_batches(picks).items()
+        }
         params, opt_state, losses = step(params, opt_state, batch)
         meters.update(time=time.time() - end,
                       **{k: float(v) for k, v in losses.items()})
