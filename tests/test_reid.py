@@ -56,3 +56,37 @@ def test_reid_training_separates_identities(rng):
     intra = float(np.mean(a @ a.T))
     inter = float(np.mean(a @ b.T))
     assert intra > inter, (intra, inter)
+
+
+def test_generate_detections_sequence(tmp_path, rng):
+    """MOT sequence + det.txt -> detections .npy with appended features."""
+    from PIL import Image
+
+    from tools.generate_detections import _load_encoder, generate_sequence
+
+    seq = tmp_path / "MOT-01" / "img1"
+    seq.mkdir(parents=True)
+    for f in range(1, 4):
+        Image.fromarray(
+            (rng.rand(120, 160, 3) * 255).astype(np.uint8)
+        ).save(seq / f"{f:06d}.jpg")
+    det = tmp_path / "det.txt"
+    rows = []
+    for f in range(1, 4):
+        rows.append(f"{f},-1,20,30,40,80,0.9,-1,-1,-1")
+        rows.append(f"{f},-1,90,10,30,60,0.8,-1,-1,-1")
+    det.write_text("\n".join(rows) + "\n")
+
+    encode = _load_encoder(None)
+    out_file = tmp_path / "MOT-01.npy"
+    out = generate_sequence(str(tmp_path / "MOT-01"), str(det), str(out_file), encode)
+    assert out.shape == (6, 10 + 128)
+    # features are unit-norm embeddings
+    norms = np.linalg.norm(out[:, 10:], axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-3)
+    # and the written file round-trips into the tracking app
+    from tspn_tpu.tracking.app import gather_sequence_info
+
+    info = gather_sequence_info(str(out_file))
+    assert info["feature_dim"] == 128
+    assert info["min_frame_idx"] == 1 and info["max_frame_idx"] == 3

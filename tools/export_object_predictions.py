@@ -42,6 +42,9 @@ def tracks_to_object_predictions(
             cls_acc = c if cls_acc is None else cls_acc + c
         if len(trajectory) < min_length or cls_acc is None:
             continue
+        # mean over frames: a summed-logit softmax saturates with track
+        # length, destroying cross-track score ranking
+        cls_acc = cls_acc / len(trajectory)
         probs = np.exp(cls_acc - cls_acc.max())
         probs = probs / probs.sum()
         cid = int(np.argmax(probs))
@@ -72,6 +75,8 @@ def main():
         import os
 
         vid = os.path.splitext(os.path.basename(path))[0]
+        if vid in results:
+            raise ValueError(f"duplicate video id from filename stem: {vid}")
         data = np.load(path)
         results[vid] = tracks_to_object_predictions(
             {k: data[k] for k in ("tlwh", "track_id", "visible")},

@@ -61,7 +61,7 @@ class RelationPredictor(nn.Module):
             (DEVICE_DIM, self.num_predicates),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.num_predicates,))
-        if self.inference and jax.default_backend() != "cpu":
+        if self.inference and jax.default_backend() == "tpu":
             flat = feats.reshape(-1, DEVICE_DIM).astype(self.dtype)
             out = normalize_classify_pallas(flat, kernel.astype(self.dtype), bias)
             return out.reshape(*feats.shape[:-1], self.num_predicates)

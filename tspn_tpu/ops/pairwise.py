@@ -145,7 +145,7 @@ def _fused_bwd(residuals, g):
     g = g.astype(jnp.float32)
     xn = _normalize_device_layout(x.astype(jnp.float32))
     dw = (xn.T @ g).astype(w.dtype)
-    db = jnp.sum(g, axis=0)
+    db = jnp.sum(g, axis=0).astype(residuals[1].dtype)
 
     u = (g @ w.astype(jnp.float32).T)  # (P, DEVICE_DIM)
     p = x.shape[0]

@@ -116,18 +116,37 @@ def train_span_model(
     for rec in records:
         groups.setdefault(rec.num_segments, []).append(rec)
     group_keys = sorted(groups)
+    # sample groups proportional to their size so the per-video training
+    # distribution matches the dataset (round-robin would overweight
+    # rare-shape videos by 1/len(group))
+    group_probs = np.array([len(groups[k]) for k in group_keys], np.float64)
+    group_probs /= group_probs.sum()
+    # small groups always yield the same video set: cache their batch on
+    # device instead of re-stacking ~GB of host arrays every visit
+    static_batch_cache: dict = {}
 
     max_iter = max_iter or cfg.SOLVER.MAX_ITER
     meters = MetricLogger()
     rng_np = np.random.RandomState(seed)
     end = time.time()
     for it in range(max_iter):
-        group = groups[group_keys[it % len(group_keys)]]
+        key = group_keys[rng_np.choice(len(group_keys), p=group_probs)]
+        group = groups[key]
         b = min(videos_per_step, len(group))
-        picks = [group[i] for i in rng_np.choice(len(group), size=b, replace=False)]
-        batch = {
-            k: jnp.asarray(v) for k, v in stack_video_batches(picks).items()
-        }
+        if len(group) <= videos_per_step:
+            if key not in static_batch_cache:
+                static_batch_cache[key] = {
+                    k: jnp.asarray(v)
+                    for k, v in stack_video_batches(group).items()
+                }
+            batch = static_batch_cache[key]
+        else:
+            picks = [
+                group[i] for i in rng_np.choice(len(group), size=b, replace=False)
+            ]
+            batch = {
+                k: jnp.asarray(v) for k, v in stack_video_batches(picks).items()
+            }
         params, opt_state, losses = step(params, opt_state, batch)
         meters.update(time=time.time() - end,
                       **{k: float(v) for k, v in losses.items()})
