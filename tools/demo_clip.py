@@ -171,7 +171,11 @@ def main():
     written = 0
     vid = "demo_clip"
     for fstart, fend in segs:
-        props = _segment_tracklets(tracks, slot_classemes, fstart, fend)
+        # quick-fit detections are noisy; accept tracks covering >= 60%
+        # of the segment (gaps filled by held boxes)
+        props = _segment_tracklets(
+            tracks, slot_classemes, fstart, fend, min_coverage=0.6
+        )
         if len(props) < 2:
             continue
         save_trajectory_proposals(props, vid, fstart, fend)
