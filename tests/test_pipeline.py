@@ -145,3 +145,23 @@ def test_object_prediction_export_and_eval(fake_detections, synthetic_dataset):
     mean_ap, ap_class = eval_video_object(gt, {vid: preds}, verbose=False)
     # jittered GT detections tracked well -> high object mAP
     assert mean_ap > 0.6, (mean_ap, ap_class)
+
+
+def test_load_video_frames_letterbox(tmp_path):
+    from PIL import Image
+
+    from tools.run_pipeline import load_video_frames
+
+    vdir = tmp_path / "VIDL"
+    vdir.mkdir()
+    rng = np.random.RandomState(0)
+    for f in range(1, 4):
+        Image.fromarray((rng.rand(90, 120, 3) * 255).astype(np.uint8)).save(
+            vdir / f"{f:05d}.jpg"
+        )
+    frames, scale = load_video_frames(str(tmp_path), "VIDL", 64)
+    assert frames.shape == (3, 64, 64, 3)
+    assert scale == pytest.approx(64 / 120)
+    # letterbox pads bottom (90*scale = 48 rows of content)
+    assert frames[0, :48].std() > 0
+    assert np.allclose(frames[0, 49:], 0.0)

@@ -1,0 +1,138 @@
+"""Production preprocessing CLI: frames -> detector -> tracker -> segment
+artifacts for a whole dataset split.
+
+The real-data counterpart of base.py --preprocess (which fabricates
+features from annotations): loads each video's extracted frames
+(vidvrd_to_image.sh layout), runs the trained Faster R-CNN, tracks the
+whole video with the scan tracker, and writes traj_cls JSON + relation
+h5 per 30/15 segment — everything base.py --train / --detect consumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def load_video_frames(frame_dir: str, vid: str, size: int) -> tuple:
+    """-> (frames (T, size, size, 3) float32, scale) letterboxed."""
+    from PIL import Image
+
+    from tspn_tpu.detection.train import letterbox
+
+    vdir = os.path.join(frame_dir, vid)
+    files = sorted(f for f in os.listdir(vdir) if f.endswith(".jpg"))
+    frames = []
+    scale = 1.0
+    for fname in files:
+        with Image.open(os.path.join(vdir, fname)) as im:
+            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        boxed, _, scale = letterbox(img, np.zeros((0, 4), np.float32), size)
+        frames.append(boxed)
+    return np.stack(frames), scale
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="frames -> detect -> track -> segment artifacts"
+    )
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--dataset", choices=["vidvrd", "vidor"], default="vidvrd")
+    parser.add_argument("--split", default="test")
+    parser.add_argument("--frame_dir", default="image")
+    parser.add_argument("--detector_ckpt", required=True)
+    parser.add_argument("--depth", type=int, default=101)
+    parser.add_argument("--image_size", type=int, default=640)
+    parser.add_argument("--output_dir", default="./vidvrd-baseline-output")
+    parser.add_argument("--max_videos", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tspn_tpu.config import get_default_config
+    from tspn_tpu.data import BaseVidOR, BaseVidVRD
+    from tspn_tpu.data.segments import set_output_dir
+    from tspn_tpu.data.vocab import VIDOR_OBJECTS, VIDVRD_OBJECTS
+    from tspn_tpu.detection.rcnn import DetectionConfig, FasterRCNN
+    from tspn_tpu.pipeline import (
+        detect_video_frames,
+        extract_video_artifacts,
+        tracks_from_detections,
+    )
+    from tspn_tpu.runtime.checkpoint import load_checkpoint
+    from tspn_tpu.runtime.logging_utils import setup_logger
+
+    logger = setup_logger("run_pipeline", save_dir="logs")
+    set_output_dir(args.output_dir)
+
+    root = os.path.join(args.data_dir, args.dataset)
+    if args.dataset == "vidvrd":
+        basedata = BaseVidVRD(root, os.path.join(root, "videos"),
+                              ["train", "test"])
+        num_classes = len(VIDVRD_OBJECTS)
+    else:
+        basedata = BaseVidOR(os.path.join(root, "annotation"),
+                             os.path.join(root, "videos"),
+                             ["training", "validation"])
+        num_classes = len(VIDOR_OBJECTS)
+
+    det_cfg = DetectionConfig(num_classes=num_classes, depth=args.depth)
+    model = FasterRCNN(cfg=det_cfg)
+    dummy = jnp.zeros((args.image_size, args.image_size, 3))
+    params = model.init(
+        jax.random.PRNGKey(0), dummy, jnp.zeros((4, 4)),
+        jnp.zeros(4, jnp.int32), jnp.zeros(4),
+    )["params"]
+    params = load_checkpoint(args.detector_ckpt, params)["params"]
+    logger.info(f"detector loaded from {args.detector_ckpt}")
+
+    classeme_fn = jax.jit(
+        lambda p, im, bx: model.apply({"params": p}, im, bx,
+                                      method=FasterRCNN.roi_classeme)
+    )
+
+    vids = basedata.get_index(args.split)
+    if args.max_videos:
+        vids = vids[: args.max_videos]
+    total = 0
+    for vid in vids:
+        frames, scale = load_video_frames(args.frame_dir, vid, args.image_size)
+        dets = detect_video_frames(model, params, frames)
+        # boxes back to original-resolution coordinates
+        dets["boxes"] = dets["boxes"] / scale
+        t_num, d_num = dets["classes"].shape
+        classemes = np.stack([
+            np.asarray(classeme_fn(
+                params, jnp.asarray(frames[t]),
+                jnp.asarray(dets["boxes"][t] * scale),
+            ))[:, :num_classes]
+            for t in range(t_num)
+        ])
+        dets["classeme"] = classemes
+        tracks = tracks_from_detections(dets)
+
+        # per-slot classemes by nearest detection center
+        k_num = tracks["track_id"].shape[1]
+        slot_classemes = np.zeros((t_num, k_num, num_classes), np.float32)
+        for t in range(t_num):
+            centers = (dets["boxes"][t][:, :2] + dets["boxes"][t][:, 2:]) / 2
+            for slot in np.flatnonzero(tracks["visible"][t]):
+                tb = tracks["tlwh"][t, slot]
+                tc = tb[:2] + tb[2:] / 2
+                slot_classemes[t, slot] = classemes[t][
+                    np.argmin(((centers - tc) ** 2).sum(-1))
+                ]
+        n = extract_video_artifacts(
+            basedata, vid, tracks, slot_classemes,
+            include_gt="train" in args.split, num_classes=num_classes,
+        )
+        total += n
+        logger.info(f"{vid}: {n} segments")
+    logger.info(f"wrote artifacts for {total} segments over {len(vids)} videos")
+
+
+if __name__ == "__main__":
+    main()
