@@ -137,3 +137,60 @@ def test_span_prediction_e2e(trained_span):
     mean_ap, rec_at_n, _ = eval_visual_relation(groundtruth, results, verbose=False)
     # span path should reach meaningful quality on the synthetic signal
     assert rec_at_n[50] > 0.1, rec_at_n
+
+
+def test_rank_pairs_fn_selects_top_chain_pairs(span_env):
+    """PPN ranking consumed at the video level: when candidates exceed
+    max_pairs, the highest-scored chain pairs win the rows."""
+    cfg, dataset = span_env
+    seg_dataset = SegmentDataset(cfg, dataset, phase="train")
+    vid = sorted({ix[0] for ix in seg_dataset.index})[0]
+    full = build_video_pair_record(
+        dataset, seg_dataset, vid,
+        feature_dim=cfg.PREDICT.FEATURE_DIM, num_objects=cfg.PREDICT.OBJECT_NUM,
+    )
+    assert full.num_pairs > 2, "need >2 candidate pairs for this test"
+    all_keys = [tuple(k) for k in full.pair_chains[: full.num_pairs]]
+    want = all_keys[-1]  # deliberately NOT the first-seen pair
+
+    def rank(classemes):
+        m = np.zeros((classemes.shape[0], classemes.shape[0]), np.float32)
+        m[want[0], want[1]] = 10.0
+        return m
+
+    pruned = build_video_pair_record(
+        dataset, seg_dataset, vid, max_pairs=2,
+        feature_dim=cfg.PREDICT.FEATURE_DIM, num_objects=cfg.PREDICT.OBJECT_NUM,
+        rank_pairs_fn=rank,
+    )
+    assert pruned.num_pairs == 2
+    assert tuple(pruned.pair_chains[0]) == want
+    # the selected pair keeps identical feature sequences
+    row_full = all_keys.index(want)
+    np.testing.assert_array_equal(
+        pruned.seq_feats[0], full.seq_feats[row_full]
+    )
+    np.testing.assert_array_equal(pruned.seq_mask[0], full.seq_mask[row_full])
+
+
+def test_make_chain_pair_ranker_from_trained_head(span_env):
+    import flax.linen as nn
+
+    from tspn_tpu.models.ppn import PPNHead, make_chain_pair_ranker
+
+    cfg, dataset = span_env
+    head = PPNHead(
+        hidden_channels=cfg.RELPN.PPN.HIDDEN_CHANNELS,
+        out_channels=cfg.RELPN.PPN.OUT_CHANNELS,
+    )
+    classemes = np.random.RandomState(0).randn(6, cfg.PREDICT.OBJECT_NUM)
+    params = head.init(jax.random.PRNGKey(0), jnp.asarray(classemes, jnp.float32))[
+        "params"
+    ]
+    rank = make_chain_pair_ranker(
+        params, cfg.RELPN.PPN.HIDDEN_CHANNELS, cfg.RELPN.PPN.OUT_CHANNELS
+    )
+    m = rank(classemes)
+    assert m.shape == (6, 6)
+    ref = head.apply({"params": params}, jnp.asarray(classemes, jnp.float32))
+    np.testing.assert_allclose(m, np.asarray(ref), rtol=1e-5)

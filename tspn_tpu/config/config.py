@@ -176,6 +176,16 @@ def get_default_config() -> Config:
                     "OUT_CHANNELS": 35,
                     "BATCH_SIZE_PER_SEGMENT": 256,
                     "POSITIVE_FRACTION": 0.5,
+                    # ---- TPU-native extensions ----
+                    # consume top-NUM_PAIR_PROPOSALS pair proposals at
+                    # inference (the paper's "what to look" pruning; the
+                    # reference computes proposals at test time,
+                    # relpn/ppn.py:81-89, but predict.py never consumes
+                    # them). Off by default for reference score parity.
+                    "PRUNE_AT_INFERENCE": False,
+                    # multiply the PPN pair relatedness into the final
+                    # relation confidence when pruning
+                    "FUSE_SCORE": False,
                 },
                 "DPN": {
                     "NUM_DURATION_PROPOSALS": 64,

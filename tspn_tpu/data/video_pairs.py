@@ -110,7 +110,17 @@ def build_video_pair_record(
     feature_dim: int = 11070,
     num_objects: int = 35,
     iou_thr: float = 0.5,
+    rank_pairs_fn=None,
 ) -> Optional[VideoPairRecord]:
+    """Build the padded video-level pair record.
+
+    rank_pairs_fn: optional PPN ranker — (chain_classeme (C, num_obj)) ->
+    (C, C) relatedness scores. When given and the candidate chain-pair
+    set exceeds max_pairs, the TOP-max_pairs pairs by PPN score are kept
+    ("what to look" consumed at the video level; the reference computes
+    pair proposals at test time, relpn/ppn.py:81-89, but never consumes
+    them). Without it, pairs keep first-seen order (round-1 behavior).
+    """
     seg_indices = [ix for ix in seg_dataset.index if ix[0] == vid]
     if not seg_indices:
         return None
@@ -122,17 +132,13 @@ def build_video_pair_record(
     classeme_acc = np.zeros((chains.num_chains, num_objects), np.float64)
     classeme_cnt = np.zeros(chains.num_chains, np.int64)
 
-    # per (chain_a, chain_b) sequence rows
-    pair_rows: Dict[Tuple[int, int], int] = {}
-    seq_feats = np.zeros((max_pairs, s_num, feature_dim), np.float32)
-    seq_mask = np.zeros((max_pairs, s_num), np.float32)
-    pair_chain_arr = np.zeros((max_pairs, 2), np.int64)
-    gt_span_map: Dict[int, List[Tuple[int, int, int]]] = {}
-
     records = {}
     for ix in seg_indices:
         records[(ix[1], ix[2])] = seg_dataset.load_segment(seg_dataset.index.index(ix))
 
+    # ---- pass 1: candidate chain pairs + classemes + GT hits per KEY ----
+    candidates: Dict[Tuple[int, int], None] = {}  # insertion-ordered set
+    gt_key_map: Dict[Tuple[int, int], List[Tuple[int, int, int]]] = {}
     for s, (fstart, fend) in enumerate(segments):
         rec = records[(fstart, fend)]
         slots = chains.chain_slot[s]
@@ -145,15 +151,7 @@ def build_video_pair_record(
             i, j = rec.pairs[row]
             if i >= n or j >= n:
                 continue
-            key = (int(slots[i]), int(slots[j]))
-            if key not in pair_rows:
-                if len(pair_rows) >= max_pairs:
-                    continue
-                pair_rows[key] = len(pair_rows)
-                pair_chain_arr[pair_rows[key]] = key
-            p = pair_rows[key]
-            seq_feats[p, s] = rec.feats[row]
-            seq_mask[p, s] = 1.0
+            candidates.setdefault((int(slots[i]), int(slots[j])))
 
         # GT span targets: segment's GT-matched positive pairs
         insts = seg_dataset.gt_rel_insts.get((vid, fstart, fend), [])
@@ -161,25 +159,61 @@ def build_video_pair_record(
         for sub_tid, obj_tid, _sc, _oc, pred in insts:
             if sub_tid not in gt_pos or obj_tid not in gt_pos:
                 continue
-            sub_hits = np.flatnonzero(
-                rec.iou[:n, gt_pos[sub_tid]] >= iou_thr
-            )
-            obj_hits = np.flatnonzero(
-                rec.iou[:n, gt_pos[obj_tid]] >= iou_thr
-            )
+            sub_hits = np.flatnonzero(rec.iou[:n, gt_pos[sub_tid]] >= iou_thr)
+            obj_hits = np.flatnonzero(rec.iou[:n, gt_pos[obj_tid]] >= iou_thr)
             for i in sub_hits:
                 for j in obj_hits:
                     if i == j:
                         continue
                     key = (int(slots[i]), int(slots[j]))
-                    if key in pair_rows:
-                        gt_span_map.setdefault(pair_rows[key], []).append(
-                            (fstart, fend, pred)
-                        )
+                    gt_key_map.setdefault(key, []).append((fstart, fend, pred))
 
-    p_num = len(pair_rows)
-    if p_num == 0:
+    if not candidates:
         return None
+
+    classeme = np.zeros((chains.num_chains, num_objects), np.float32)
+    nonzero = classeme_cnt > 0
+    classeme[nonzero] = (
+        classeme_acc[nonzero] / classeme_cnt[nonzero, None]
+    ).astype(np.float32)
+
+    keys = list(candidates)
+    if rank_pairs_fn is not None and len(keys) > max_pairs:
+        score_matrix = np.asarray(rank_pairs_fn(classeme))
+        order = np.argsort(
+            [-float(score_matrix[a, b]) for a, b in keys], kind="stable"
+        )
+        keys = [keys[o] for o in order[:max_pairs]]
+    else:
+        keys = keys[:max_pairs]
+    pair_rows: Dict[Tuple[int, int], int] = {k: r for r, k in enumerate(keys)}
+
+    # ---- pass 2: fill sequences for the selected pairs ----
+    seq_feats = np.zeros((max_pairs, s_num, feature_dim), np.float32)
+    seq_mask = np.zeros((max_pairs, s_num), np.float32)
+    pair_chain_arr = np.zeros((max_pairs, 2), np.int64)
+    for key, p in pair_rows.items():
+        pair_chain_arr[p] = key
+    for s, (fstart, fend) in enumerate(segments):
+        rec = records[(fstart, fend)]
+        slots = chains.chain_slot[s]
+        n = min(rec.num_proposals, len(slots))
+        for row in range(rec.pairs.shape[0]):
+            i, j = rec.pairs[row]
+            if i >= n or j >= n:
+                continue
+            p = pair_rows.get((int(slots[i]), int(slots[j])))
+            if p is None:
+                continue
+            seq_feats[p, s] = rec.feats[row]
+            seq_mask[p, s] = 1.0
+
+    gt_span_map: Dict[int, List[Tuple[int, int, int]]] = {
+        pair_rows[key]: hits
+        for key, hits in gt_key_map.items()
+        if key in pair_rows
+    }
+    p_num = len(pair_rows)
 
     # merge per-segment GT hits into maximal (pred, span) intervals per pair
     gt_spans = np.zeros((max_pairs, max_gt_per_pair, 2), np.float32)
@@ -204,12 +238,6 @@ def build_video_pair_record(
             gt_spans[p, g] = (fs, fe)
             gt_preds[p, g] = pred
             gt_mask[p, g] = 1.0
-
-    classeme = np.zeros((chains.num_chains, num_objects), np.float32)
-    nonzero = classeme_cnt > 0
-    classeme[nonzero] = (
-        classeme_acc[nonzero] / classeme_cnt[nonzero, None]
-    ).astype(np.float32)
 
     return VideoPairRecord(
         vid=vid,

@@ -73,6 +73,26 @@ def ppn_loss(
     return jnp.sum(per_cell * mask) / denom
 
 
+def make_chain_pair_ranker(ppn_params, hidden_channels: int, out_channels: int):
+    """Host-callable ranker from trained PPN params: classeme matrix
+    (C, num_obj) -> (C, C) pair-relatedness LOGITS.
+
+    Used to consume PPN proposals at the video level (span mode): chain
+    classemes (mean member-tracklet classemes) are scored by the same
+    head that ranked tracklet pairs inside segments.
+    ppn_params is the "ppn_head" subtree of the segment model's params.
+    """
+    head = PPNHead(hidden_channels=hidden_channels, out_channels=out_channels)
+    score = jax.jit(lambda c: head.apply({"params": ppn_params}, c))
+
+    def rank(classemes):
+        import numpy as np
+
+        return np.asarray(score(jnp.asarray(classemes, jnp.float32)))
+
+    return rank
+
+
 def top_pair_proposals(
     pair_logits: jnp.ndarray, track_mask: jnp.ndarray, num_proposals: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

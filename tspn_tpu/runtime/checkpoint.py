@@ -60,6 +60,22 @@ def load_checkpoint(path: str, params_template, opt_state_template=None) -> dict
     }
 
 
+def load_checkpoint_raw(path: str) -> dict:
+    """Template-free restore (nested plain dicts of np arrays). Returns
+    {params, opt_state, step, loss} — for consumers that only need a
+    params subtree (e.g. the PPN head) without the full model template."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    restored = serialization.msgpack_restore(blob)
+    meta = restored.get("meta", {})
+    return {
+        "params": restored.get("params", {}),
+        "opt_state": restored.get("opt_state") or None,
+        "step": int(meta.get("step", 0)),
+        "loss": float(meta.get("loss", 0.0)),
+    }
+
+
 def latest_checkpoint(model_dir: str, model_name: str) -> Optional[str]:
     """Find the highest-iteration '<name>_weights_iter_<N>.pt' file."""
     if not os.path.isdir(model_dir):

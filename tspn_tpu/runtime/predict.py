@@ -70,19 +70,70 @@ def _select_topk(
     )
 
 
-def _make_batched_infer(model, topk_per_pair: int, topk_per_seg: int):
+def _make_batched_infer(
+    model,
+    topk_per_pair: int,
+    topk_per_seg: int,
+    num_pair_proposals: int = 0,
+    fuse_ppn_score: bool = False,
+):
     """One jitted program per bucket: forward + per-segment top-k for a
     whole SEGMENT BATCH — a single device dispatch + readback per batch
     instead of per segment (dispatch latency dominates one-chip
-    inference, especially over the dev tunnel)."""
+    inference, especially over the dev tunnel).
+
+    num_pair_proposals > 0 enables the paper's PPN pruning ("what to
+    look", /root/reference/lib/modeling/relpn/ppn.py:81-89 +
+    model.py:53-66): the PPN head ranks all N(N-1) candidate pairs and
+    only the top-K pairs' features go through the (hot, 11264-wide)
+    relation classifier — the reference computes these proposals at test
+    time but its predict.py never consumes them; here they prune real
+    compute. Deviation: the reference ranks flattened N x N matrix cells
+    (diagonal included, which can never map to a candidate pair); we
+    rank the actual pair rows, so all K proposals are consumable.
+    """
 
     @jax.jit
     def infer(params, batch):
-        out = model.apply({"params": params}, batch)
-        rel_prob = jax.nn.sigmoid(out["rel_logits"])
-        return jax.vmap(
-            lambda rp, pm: _select_topk(rp, pm, topk_per_pair, topk_per_seg)
-        )(rel_prob, batch["pair_mask"])
+        if num_pair_proposals <= 0:
+            out = model.apply({"params": params}, batch)
+            rel_prob = jax.nn.sigmoid(out["rel_logits"])
+            return jax.vmap(
+                lambda rp, pm: _select_topk(rp, pm, topk_per_pair, topk_per_seg)
+            )(rel_prob, batch["pair_mask"])
+
+        # ---- PPN-pruned path ----
+        pair_logits = model.apply(
+            {"params": params}, batch["cls_logits"],
+            method=lambda m, x: m.ppn_head(x),
+        )  # (B, N, N)
+
+        def rank_pairs(pl, pairs, pm):
+            row_logits = pl[pairs[:, 0], pairs[:, 1]]        # (P,)
+            masked = jnp.where(pm > 0, row_logits, -jnp.inf)
+            k = min(num_pair_proposals, masked.shape[0])
+            top_logits, top_rows = jax.lax.top_k(masked, k)  # (K,)
+            keep = jnp.isfinite(top_logits).astype(jnp.float32)
+            return top_rows, keep, jax.nn.sigmoid(top_logits)
+
+        top_rows, keep, ppn_scores = jax.vmap(rank_pairs)(
+            pair_logits, batch["pairs"], batch["pair_mask"]
+        )
+        feats_k = jnp.take_along_axis(
+            batch["feats"], top_rows[..., None], axis=1
+        )  # (B, K, D) — only these K rows hit the classifier matmul
+        rel_logits = model.apply(
+            {"params": params}, feats_k, method=lambda m, f: m.classifier(f)
+        )
+        rel_prob = jax.nn.sigmoid(rel_logits)
+        if fuse_ppn_score:
+            rel_prob = rel_prob * ppn_scores[..., None]
+        scores, pair_idx, pred_idx, valid = jax.vmap(
+            lambda rp, km: _select_topk(rp, km, topk_per_pair, topk_per_seg)
+        )(rel_prob, keep)
+        # map selections back from pruned rows to original pair rows
+        orig_pair_idx = jnp.take_along_axis(top_rows, pair_idx, axis=1)
+        return scores, orig_pair_idx.astype(jnp.int32), pred_idx, valid
 
     return infer
 
@@ -106,8 +157,18 @@ def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
     )
     topk_per_pair = cfg.PREDICT.TOPK_PER_PAIR
     topk_per_seg = cfg.PREDICT.TOPK_PER_SEG
+    prune = (
+        cfg.RELPN.USE_PPN
+        and bool(cfg.RELPN.PPN.get("PRUNE_AT_INFERENCE", False))
+    )
 
-    infer = _make_batched_infer(model, topk_per_pair, topk_per_seg)
+    infer = _make_batched_infer(
+        model,
+        topk_per_pair,
+        topk_per_seg,
+        num_pair_proposals=cfg.RELPN.PPN.NUM_PAIR_PROPOSALS if prune else 0,
+        fuse_ppn_score=bool(cfg.RELPN.PPN.get("FUSE_SCORE", False)),
+    )
 
     short_term_relations: Dict[Tuple[str, int, int], tuple] = {}
     seen = set()

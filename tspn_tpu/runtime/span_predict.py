@@ -56,14 +56,20 @@ def predict_video_relations(
     top_per_video: int = 200,
     top_k_spans: int = 8,
     max_pairs: int = 64,
+    rank_pairs_fn=None,
 ) -> List[dict]:
-    """-> serialized relation dicts (triplet/score/duration/trajs)."""
+    """-> serialized relation dicts (triplet/score/duration/trajs).
+
+    rank_pairs_fn: optional PPN chain-pair ranker (see
+    models/ppn.make_chain_pair_ranker) — prunes the candidate chain-pair
+    set to the top max_pairs before span proposal."""
     from tspn_tpu.data.vrdataset import effective_feature_dim
 
     record = build_video_pair_record(
         dataset, seg_dataset, vid, max_pairs=max_pairs,
         feature_dim=effective_feature_dim(seg_dataset.cfg),
         num_objects=seg_dataset.num_objects,
+        rank_pairs_fn=rank_pairs_fn,
     )
     if record is None:
         return []
@@ -134,17 +140,50 @@ def predict_video_relations(
     return relations
 
 
+def _maybe_ppn_ranker(cfg, logger=None):
+    """Build the chain-pair PPN ranker from the segment checkpoint when
+    RELPN.PPN.PRUNE_AT_INFERENCE is set (returns None otherwise)."""
+    if not (
+        cfg.RELPN.USE_PPN and bool(cfg.RELPN.PPN.get("PRUNE_AT_INFERENCE", False))
+    ):
+        return None
+    import os
+
+    from tspn_tpu.data.segments import get_model_path
+    from tspn_tpu.models.ppn import make_chain_pair_ranker
+    from tspn_tpu.runtime.checkpoint import load_checkpoint_raw
+
+    ckpt = os.path.join(get_model_path(), cfg.ETC.MODEL_DUMP_FILE)
+    if not os.path.exists(ckpt):
+        if logger:
+            logger.info(f"PPN pruning requested but no segment ckpt at {ckpt}")
+        return None
+    restored = load_checkpoint_raw(ckpt)
+    ppn_params = restored["params"].get("ppn_head")
+    if ppn_params is None:
+        if logger:
+            logger.info("PPN pruning requested but checkpoint has no ppn_head")
+        return None
+    if logger:
+        logger.info(f"PPN chain-pair pruning active (from {ckpt})")
+    return make_chain_pair_ranker(
+        ppn_params, cfg.RELPN.PPN.HIDDEN_CHANNELS, cfg.RELPN.PPN.OUT_CHANNELS
+    )
+
+
 def detect_spans(
     cfg, dataset, model: SpanTSPN, params, logger=None
 ) -> Dict[str, List[dict]]:
     """All test videos -> {vid: [relation dicts]} (prediction JSON body)."""
     test_split = dataset.infer_test_split()
     seg_dataset = SegmentDataset(cfg, dataset, phase=test_split)
+    rank_pairs_fn = _maybe_ppn_ranker(cfg, logger)
     results = {}
     for vid in dataset.get_index(test_split):
         results[vid] = predict_video_relations(
             dataset, seg_dataset, model, params, vid,
             top_per_video=cfg.PREDICT.TOPK_PER_SEG,
+            rank_pairs_fn=rank_pairs_fn,
         )
         if logger:
             logger.info(f"{vid}: {len(results[vid])} span relations")
