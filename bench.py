@@ -14,11 +14,22 @@ fp32 on the MXU.
 
 vs_baseline: the same math as the reference executes it — unfused
 float32 XLA, one 992-pair segment per dispatch — measured on the SAME
-chip. Each timed iteration consumes the previous one's output so
-executions serialize (no pipelining illusions).
+chip with the SAME protocol.
+
+Measurement protocol (memory: axon-tpu-quirks): the dev tunnel memoizes
+identical dispatches and pipelines independent ones, so every iteration
+must (a) carry unique input content and (b) depend on the previous
+iteration's output. Both are satisfied by scaling the SMALL weight
+matrix with (1 + eps*(tag + carry)) — a ~3 MB side input — rather than
+perturbing the multi-GB feature buffer: an elementwise add on the
+features costs a full extra HBM read+write that XLA fuses into its own
+matmuls but a custom-call kernel cannot, which previously understated
+the fused kernel by ~2.4x. Both legs use >= 20 timed iterations and the
+spread is reported.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "value_iqr": [p25, p75], "baseline_value": N, "iters": [opt, ref]}
 """
 
 from __future__ import annotations
@@ -31,32 +42,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time_chained_unique(step_fn, iters=50, warmup=3):
-    """Timing under the dev tunnel needs BOTH properties (memory:
-    axon-tpu-quirks): every dispatch must carry unique input content
-    (identical dispatches are memoized) AND iterations must form a data
-    dependency chain (independent dispatches give async illusions).
-    step_fn(tag, carry) -> scalar carry; one host readback at the end
-    bounds the whole chain."""
-    carry = None
+def _time_chained_unique(step_fn, iters, repeats=5, warmup=3):
+    """Per-iteration time (one value per repeat) under the chained-unique
+    protocol.
+
+    step_fn(tag, carry) -> scalar carry. Each repeat times `iters`
+    chained iterations bounded by a single scalar readback: the dev
+    tunnel's host<->device round trip is ~25 ms, so per-iteration syncs
+    would swamp the kernel — the one RTT per repeat is amortized over
+    `iters` dispatches instead (and slightly UNDERSTATES throughput)."""
+    carry = jnp.float32(0.0)
     for i in range(warmup):
         carry = step_fn(float(i + 1), carry)
     _ = float(np.asarray(carry))  # forced sync
-    start = time.perf_counter()
-    for i in range(iters):
-        carry = step_fn(float(100 + i), carry)
-    _ = float(np.asarray(carry))
-    return (time.perf_counter() - start) / iters
+    per_iter = []
+    tag = 100.0
+    for _r in range(repeats):
+        start = time.perf_counter()
+        for _i in range(iters):
+            carry = step_fn(tag, carry)
+            tag += 1.0
+        _ = float(np.asarray(carry))
+        per_iter.append((time.perf_counter() - start) / iters)
+    return np.asarray(per_iter)
 
 
 def main():
-    from tspn_tpu.data.feature_store import FEATURE_DIM
     from tspn_tpu.ops.pairwise import (
+        DEVICE_DIM,
+        _permutation,
         normalize_classify,
         normalize_classify_pallas,
-        to_device_layout,
         weights_to_device_layout,
     )
+    from tspn_tpu.data.feature_store import FEATURE_DIM
 
     num_predicates = 132
     pairs_per_seg = 32 * 31  # 32-tracklet bucket
@@ -70,8 +89,6 @@ def main():
     # features are generated ON DEVICE (host->device of multi-GB arrays
     # over the dev tunnel would dominate the measurement); the valid-column
     # mask reproduces the device layout's zero padding
-    from tspn_tpu.ops.pairwise import DEVICE_DIM, _permutation
-
     col_valid = jnp.asarray((_permutation() >= 0), jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     feats_dev = (
@@ -84,18 +101,18 @@ def main():
     # them embeds GB-scale constants in the HLO, which the remote TPU
     # compiler chokes on (see memory: axon-tpu-quirks)
     @jax.jit
-    def opt_step(x0, w_, b_, tag, carry):
-        # unique content per call + dependency on the previous iteration
-        x = x0 + (tag + carry).astype(x0.dtype)
-        out = normalize_classify_pallas(x, w_, b_, row_tile=256)
+    def opt_step(x, w_, b_, tag, carry):
+        # unique content + dependency chain through the SMALL weights
+        wi = (w_ * (1.0 + 1e-6 * (tag + carry)).astype(w_.dtype))
+        out = normalize_classify_pallas(x, wi, b_, row_tile=128)
         return jnp.max(out)
 
     def opt_fn(tag, carry):
-        c = jnp.float32(0.0) if carry is None else carry
-        return opt_step(feats_dev, w_dev, b_dev, jnp.float32(tag), c)
+        return opt_step(feats_dev, w_dev, b_dev, jnp.float32(tag), carry)
 
-    t_opt = _time_chained_unique(opt_fn)
-    pairs_per_sec = p_total / t_opt
+    t_opt = _time_chained_unique(opt_fn, iters=50, repeats=5)
+    pairs_per_sec = p_total / np.median(t_opt)
+    p25, p75 = np.percentile(t_opt, [25, 75])
 
     # ---- reference-style: unfused f32, one segment per dispatch
     seg = jax.random.uniform(key, (pairs_per_seg, FEATURE_DIM), jnp.float32)
@@ -103,23 +120,27 @@ def main():
 
     @jax.jit
     def ref_one(x, w_, b_, tag, carry):
-        out = normalize_classify(x + tag + carry, w_, b_)
+        wi = w_ * (1.0 + 1e-6 * (tag + carry))
+        out = normalize_classify(x, wi, b_)
         return jnp.max(out)
 
     def ref_step(tag, carry):
-        c = jnp.float32(0.0) if carry is None else carry
+        c = carry
         for s in range(segments):
             c = ref_one(seg, w32, b32, jnp.float32(tag * segments + s), c)
         return c
 
-    t_ref = _time_chained_unique(ref_step, iters=5, warmup=1)
-    ref_pairs_per_sec = p_total / t_ref
+    t_ref = _time_chained_unique(ref_step, iters=5, repeats=4, warmup=2)
+    ref_pairs_per_sec = p_total / np.median(t_ref)
 
     print(json.dumps({
         "metric": "tracklet_pairs_scored_per_sec_per_chip",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / ref_pairs_per_sec, 2),
+        "value_iqr": [round(p_total / p75, 1), round(p_total / p25, 1)],
+        "baseline_value": round(ref_pairs_per_sec, 1),
+        "iters": [5 * 50, 4 * 5],
     }))
 
 
