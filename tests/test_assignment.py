@@ -75,3 +75,30 @@ def test_gated_assignment_drops_expensive_matches():
     )
     assert got[0] == 0
     assert got[1] == -1  # 9.0 > max_cost -> unmatched even though assigned
+
+
+def test_orientation_follows_valid_counts_not_padded_shape():
+    """A (32, 10) padded matrix holding an effective 4x5 problem: the
+    static shape says transpose (32 > 10) but the VALID counts say
+    row-major (4 <= 5). The old static orientation dropped an
+    uncontested optimal match (found by the tracker parity oracle)."""
+    import jax.numpy as jnp
+
+    from tspn_tpu.ops.assignment import gated_assignment
+
+    k, d = 32, 10
+    cost = np.full((k, d), 1e6, np.float32)
+    rows = np.zeros(k, bool)
+    rows[[0, 1, 3, 4]] = True
+    cols = np.zeros(d, bool)
+    cols[:5] = True
+    rng = np.random.RandomState(0)
+    for r in np.flatnonzero(rows):
+        for c in np.flatnonzero(cols):
+            cost[r, c] = 1.0 + 0.01 * rng.rand()
+    for r, c in [(0, 0), (1, 1), (3, 3), (4, 4)]:
+        cost[r, c] = 0.02
+    r2c = np.asarray(
+        gated_assignment(jnp.asarray(cost), jnp.asarray(rows), jnp.asarray(cols), 0.2)
+    )
+    assert r2c[0] == 0 and r2c[1] == 1 and r2c[3] == 3 and r2c[4] == 4

@@ -36,19 +36,39 @@ def auction_assignment(
     int32 with -1 for unassigned. Invalid rows/cols (padding masks) and
     infeasible entries (cost >= BIG/2) never match.
 
+    Successive augmentation is globally optimal only when every processed
+    row can end up matched, i.e. #valid rows <= #valid cols (on the
+    feasible submatrix). The orientation must therefore follow the
+    DYNAMIC valid counts, not the padded shape: with masks, a (32, 10)
+    matrix can hold an effective 4 x 5 problem (rows <= cols) — the old
+    static `n > m` transpose inverted it into 5 rows vs 4 cols and
+    silently dropped an uncontested optimal match once all valid columns
+    were owned (caught by the full-tracker parity oracle).
+
     (Name kept from the earlier auction-based implementation for API
     stability; the solver is LAPJV.)
     """
     n, m = cost.shape
-    if n > m:
-        # successive augmentation is globally optimal only when every
-        # processed row can end up matched; with more rows than columns,
-        # solve the transpose (scipy does the same) and invert
-        col_to_row = auction_assignment(cost.T, col_valid, row_valid)
+
+    def col_major(_):
+        col_to_row = _lapjv_rows(cost.T, col_valid, row_valid)
         is_match = col_to_row[None, :] == jnp.arange(n)[:, None]  # (n, m)
         return jnp.where(
             jnp.any(is_match, axis=1), jnp.argmax(is_match, axis=1), -1
         ).astype(jnp.int32)
+
+    return jax.lax.cond(
+        jnp.sum(row_valid) <= jnp.sum(col_valid),
+        lambda _: _lapjv_rows(cost, row_valid, col_valid),
+        col_major,
+        None,
+    )
+
+
+def _lapjv_rows(cost, row_valid, col_valid):
+    """Scan-over-rows LAPJV core; requires #valid rows <= #valid cols
+    with every valid row matchable (callers orient accordingly)."""
+    n, m = cost.shape
     feasible = row_valid[:, None] & col_valid[None, :] & (cost < BIG / 2)
     spread = jnp.clip(jnp.max(jnp.where(feasible, jnp.abs(cost), 0.0)), 1.0)
     # infeasible cells get a bounded sentinel so float32 potentials stay
