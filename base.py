@@ -108,6 +108,7 @@ def detect(cfg, args, data_dir):
                 basedata, seg_ds, vid0,
                 feature_dim=effective_feature_dim(cfg),
                 num_objects=cfg.PREDICT.OBJECT_NUM,
+                num_predicates=cfg.PREDICT.PREDICATE_NUM,
             )
             if example is not None:
                 break

@@ -194,3 +194,84 @@ def test_make_chain_pair_ranker_from_trained_head(span_env):
     assert m.shape == (6, 6)
     ref = head.apply({"params": params}, jnp.asarray(classemes, jnp.float32))
     np.testing.assert_allclose(m, np.asarray(ref), rtol=1e-5)
+
+
+def _eval_span_results(dataset, results):
+    from tspn_tpu.evaluation import eval_visual_relation
+
+    groundtruth = {
+        vid: dataset.get_relation_insts(vid) for vid in dataset.get_index("test")
+    }
+    return eval_visual_relation(groundtruth, results, verbose=False)
+
+
+def test_joint_objective_meets_two_phase_quality(span_env, trained_span):
+    """Config-gated joint phase (shared classifier segment BCE +
+    predicted-span classification) must reach at least the teacher-
+    forced pipeline's synthetic e2e relation quality."""
+    from tspn_tpu.runtime.span_predict import detect_spans
+    from tspn_tpu.runtime.span_train import train_span_model
+
+    cfg2, dataset, model2, params2 = trained_span
+    results_tf = detect_spans(cfg2, dataset, model2, params2)
+    map_tf, rec_tf, _ = _eval_span_results(dataset, results_tf)
+
+    cfg, _ = span_env
+    cfg = cfg.clone()
+    cfg.SOLVER.MAX_ITER = 150
+    cfg.RELPN.DPN.JOINT_OBJECTIVE = True
+    model_j, params_j = train_span_model(cfg, dataset, lr=2e-3)
+    results_j = detect_spans(cfg, dataset, model_j, params_j)
+    map_j, rec_j, _ = _eval_span_results(dataset, results_j)
+
+    assert map_j >= map_tf - 1e-6, (
+        f"joint mAP {map_j:.4f} < teacher-forced {map_tf:.4f}"
+    )
+    assert rec_j[50] >= rec_tf[50] - 1e-6, (
+        f"joint R@50 {rec_j[50]:.4f} < teacher-forced {rec_tf[50]:.4f}"
+    )
+
+
+def test_joint_loss_terms_finite_and_trainable(span_env):
+    import optax
+
+    from tspn_tpu.models.span_tspn import span_tspn_joint_loss
+    from tspn_tpu.runtime.span_train import build_span_model, record_to_batch
+
+    cfg, dataset = span_env
+    seg_dataset = SegmentDataset(cfg, dataset, phase="train")
+    vid = sorted({ix[0] for ix in seg_dataset.index})[0]
+    rec = build_video_pair_record(
+        dataset, seg_dataset, vid,
+        feature_dim=cfg.PREDICT.FEATURE_DIM, num_objects=cfg.PREDICT.OBJECT_NUM,
+        num_predicates=cfg.PREDICT.PREDICATE_NUM,
+    )
+    assert rec.seg_labels.shape == (
+        rec.seq_feats.shape[0], rec.seq_feats.shape[1], cfg.PREDICT.PREDICATE_NUM
+    )
+    # every GT span hit appears as a segment label
+    assert rec.seg_labels.sum() > 0
+
+    model = build_span_model(cfg)
+    batch = {k: jnp.asarray(v) for k, v in record_to_batch(rec).items()}
+    params = model.init(
+        jax.random.PRNGKey(0), batch["seq_feats"], batch["seq_mask"],
+        method="init_all",
+    )["params"]
+    losses = span_tspn_joint_loss(model, params, batch)
+    assert set(losses) >= {
+        "loss_relationness", "loss_duration", "loss_span_cls",
+        "loss_seg_cls", "loss_pred_span_cls",
+    }
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    # gradients flow to the shared classifier from the new terms
+    def total(p):
+        ls = span_tspn_joint_loss(model, p, batch)
+        return ls["loss_seg_cls"] + ls["loss_pred_span_cls"]
+
+    grads = jax.grad(total)(params)
+    g = grads["classifier"]
+    leaf_norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
+    assert sum(leaf_norms) > 0

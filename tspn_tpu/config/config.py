@@ -202,6 +202,13 @@ def get_default_config() -> Config:
                     "FG_IOU_THRESHOLD": 0.7,
                     "BG_IOU_THRESHOLD": 0.3,
                     "NMS_THRESHOLD": 0.5,
+                    # ---- TPU-native extensions ----
+                    # joint objective: segment BCE through the SHARED
+                    # RelationPredictor + classification of the DPN's own
+                    # NMS'd span proposals against IoU-matched GT
+                    # predicates (train matches test); off = the
+                    # teacher-forced two-phase pipeline
+                    "JOINT_OBJECTIVE": False,
                 },
             },
             "ETC": {

@@ -96,6 +96,7 @@ class VideoPairRecord:
     gt_spans: np.ndarray     # (P, G_max, 2) frame spans per pair
     gt_preds: np.ndarray     # (P, G_max) predicate ids
     gt_mask: np.ndarray      # (P, G_max)
+    seg_labels: np.ndarray   # (P, S, R) per-segment predicate multi-hot
     num_pairs: int
     num_segments: int
     chains: PairChains
@@ -109,6 +110,7 @@ def build_video_pair_record(
     max_gt_per_pair: int = 8,
     feature_dim: int = 11070,
     num_objects: int = 35,
+    num_predicates: int = 132,
     iou_thr: float = 0.5,
     rank_pairs_fn=None,
 ) -> Optional[VideoPairRecord]:
@@ -215,6 +217,14 @@ def build_video_pair_record(
     }
     p_num = len(pair_rows)
 
+    # per-(pair, segment) predicate multi-hot for the joint segment BCE
+    seg_index = {seg: s for s, seg in enumerate(segments)}
+    seg_labels = np.zeros((max_pairs, s_num, num_predicates), np.float32)
+    for p, hits in gt_span_map.items():
+        for fs, fe, pred in hits:
+            if 0 <= pred < num_predicates:
+                seg_labels[p, seg_index[(fs, fe)], pred] = 1.0
+
     # merge per-segment GT hits into maximal (pred, span) intervals per pair
     gt_spans = np.zeros((max_pairs, max_gt_per_pair, 2), np.float32)
     gt_preds = np.zeros((max_pairs, max_gt_per_pair), np.int64)
@@ -248,6 +258,7 @@ def build_video_pair_record(
         gt_spans=gt_spans,
         gt_preds=gt_preds,
         gt_mask=gt_mask,
+        seg_labels=seg_labels,
         num_pairs=p_num,
         num_segments=s_num,
         chains=chains,

@@ -22,7 +22,7 @@ import optax
 
 from tspn_tpu.models.dpn import DPN, dpn_loss, match_anchors
 from tspn_tpu.models.tspn import RelationPredictor
-from tspn_tpu.ops.temporal import decode_spans, nms_1d
+from tspn_tpu.ops.temporal import decode_spans, interval_iou, nms_1d
 
 
 class SpanTSPN(nn.Module):
@@ -69,6 +69,13 @@ class SpanTSPN(nn.Module):
         dummy_spans = jnp.zeros((seq_feats.shape[0], 1, 2), seq_feats.dtype)
         self.classify_spans(seq_feats, seq_mask, dummy_spans)
         return out
+
+    def classify_segments(self, seq_feats: jnp.ndarray) -> jnp.ndarray:
+        """Per-(pair, segment) predicate logits through the SHARED
+        classifier — the joint objective's segment-level BCE term uses
+        the same RelationPredictor the span-pooled classification uses
+        (the reference trains them as one module, model.py:14-18)."""
+        return self.classifier(seq_feats)
 
     def classify_spans(
         self,
@@ -132,6 +139,93 @@ def span_tspn_loss(
         "loss_duration": loss_span,
         "loss_span_cls": loss_cls,
     }
+
+
+def span_tspn_joint_loss(
+    model: SpanTSPN,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    top_k_spans: int = 8,
+    match_iou: float = 0.5,
+    # defaults from the round-2 weight sweep (synthetic e2e): joint mAP
+    # 0.1315 vs the two-phase pipeline's 0.0689; background_weight is
+    # the sensitive one — at 0.1 the early all-background proposals
+    # suppress the classifier globally (mAP 0.038)
+    seg_weight: float = 0.25,
+    pred_span_weight: float = 0.5,
+    background_weight: float = 0.02,
+) -> Dict[str, jnp.ndarray]:
+    """Joint objective: the teacher-forced losses PLUS
+
+    - segment BCE: per-(pair, segment) predicate labels classified by
+      the SHARED RelationPredictor on the raw sequence features — ties
+      the segment-level signal and the span-pooled classification to
+      one set of classifier weights;
+    - predicted-span classification: the DPN's OWN NMS'd proposals are
+      span-pooled and classified against the predicates of IoU-matched
+      GT spans (unmatched proposals learn all-zero / background) — what
+      inference does, so train matches test (fixes the GT-span-only
+      teacher forcing skew).
+
+    batch additionally carries seg_labels (P, S, R).
+    """
+    losses = span_tspn_loss(model, params, batch)
+
+    # ---- segment-level BCE through the shared classifier
+    seg_logits = model.apply(
+        {"params": params}, batch["seq_feats"],
+        method=SpanTSPN.classify_segments,
+    )  # (P, S, R)
+    w_seg = (batch["seq_mask"] * batch["pair_mask"][:, None])[..., None]
+    bce_seg = optax.sigmoid_binary_cross_entropy(seg_logits, batch["seg_labels"])
+    losses["loss_seg_cls"] = seg_weight * jnp.sum(bce_seg * w_seg) / jnp.clip(
+        jnp.sum(w_seg), 1.0
+    )
+
+    # ---- classification on PREDICTED spans (matched to GT by 1-D IoU)
+    relness_logits, deltas, anchors = model.apply(
+        {"params": params}, batch["seq_feats"], batch["seq_mask"]
+    )
+    s = batch["seq_feats"].shape[1]
+    time_width = (s + 1) * model.frames_per_step
+    spans_all = jnp.clip(decode_spans(deltas, anchors[None]), 0.0, time_width)
+    scores_all = jax.nn.sigmoid(relness_logits)
+    valid = (spans_all[..., 1] - spans_all[..., 0]) > 0
+
+    def one_pair(spans_p, scores_p, valid_p):
+        idx, keep = nms_1d(
+            spans_p, scores_p, model.nms_threshold, top_k_spans, valid=valid_p
+        )
+        return spans_p[idx], keep
+
+    spans, keep = jax.vmap(one_pair)(spans_all, scores_all, valid)  # (P, K, 2)
+    spans = jax.lax.stop_gradient(spans)  # proposal SELECTION is not a
+    # gradient path; the regression term already trains the deltas
+    logits_pred = model.apply(
+        {"params": params}, batch["seq_feats"], batch["seq_mask"], spans,
+        method=SpanTSPN.classify_spans,
+    )  # (P, K, R)
+    iou = jax.vmap(interval_iou)(spans, batch["gt_spans"])  # (P, K, G)
+    matched = (iou >= match_iou) & (batch["gt_mask"][:, None, :] > 0)  # (P,K,G)
+    onehot = jax.nn.one_hot(batch["gt_preds"], logits_pred.shape[-1])  # (P,G,R)
+    targets = jnp.clip(
+        jnp.einsum("pkg,pgr->pkr", matched.astype(jnp.float32), onehot), 0.0, 1.0
+    )
+    # unmatched (background) proposals are down-weighted: early in
+    # training every proposal is background and a full-weight term just
+    # suppresses the classifier globally; matched proposals carry the
+    # train-matches-test signal
+    is_fg = jnp.any(matched, axis=-1).astype(jnp.float32)  # (P, K)
+    w_pred = (
+        keep
+        * batch["pair_mask"][:, None]
+        * (is_fg + background_weight * (1.0 - is_fg))
+    )[..., None]
+    bce_pred = optax.sigmoid_binary_cross_entropy(logits_pred, targets)
+    losses["loss_pred_span_cls"] = pred_span_weight * jnp.sum(
+        bce_pred * w_pred
+    ) / jnp.clip(jnp.sum(w_pred), 1.0)
+    return losses
 
 
 def propose_and_classify(

@@ -69,6 +69,7 @@ def predict_video_relations(
         dataset, seg_dataset, vid, max_pairs=max_pairs,
         feature_dim=effective_feature_dim(seg_dataset.cfg),
         num_objects=seg_dataset.num_objects,
+        num_predicates=seg_dataset.cfg.PREDICT.PREDICATE_NUM,
         rank_pairs_fn=rank_pairs_fn,
     )
     if record is None:

@@ -32,6 +32,7 @@ def record_to_batch(record: VideoPairRecord) -> dict:
         "gt_spans": record.gt_spans,
         "gt_preds": record.gt_preds,
         "gt_mask": record.gt_mask,
+        "seg_labels": record.seg_labels,
     }
 
 
@@ -62,6 +63,7 @@ def train_span_model(
     logger=None,
     seed: int = 0,
     videos_per_step: int = 4,
+    joint_kwargs: Optional[dict] = None,
 ):
     """Train SpanTSPN over the train split's video pair records.
 
@@ -81,11 +83,16 @@ def train_span_model(
             dataset, seg_dataset, vid,
             feature_dim=effective_feature_dim(cfg),
             num_objects=cfg.PREDICT.OBJECT_NUM,
+            num_predicates=cfg.PREDICT.PREDICATE_NUM,
         )
         if rec is not None and rec.gt_mask.sum() > 0:
             records.append(rec)
     assert records, "no video pair records with GT spans"
-    logger.info(f"span training over {len(records)} videos")
+    joint = bool(cfg.RELPN.DPN.get("JOINT_OBJECTIVE", False))
+    logger.info(
+        f"span training over {len(records)} videos "
+        f"({'joint' if joint else 'teacher-forced'} objective)"
+    )
 
     model = build_span_model(cfg)
     example = record_to_batch(records[0])
@@ -97,11 +104,20 @@ def train_span_model(
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
 
+    from tspn_tpu.models.span_tspn import span_tspn_joint_loss
+
+    jkw = joint_kwargs or {}
+    loss_impl = (
+        (lambda m, p, b: span_tspn_joint_loss(m, p, b, **jkw))
+        if joint
+        else span_tspn_loss
+    )
+
     @jax.jit
     def step(params, opt_state, batch):
         def loss_fn(p):
             # vmap the per-video loss over the stacked video batch
-            per_video = jax.vmap(lambda b: span_tspn_loss(model, p, b))(batch)
+            per_video = jax.vmap(lambda b: loss_impl(model, p, b))(batch)
             losses = {k: jnp.mean(v) for k, v in per_video.items()}
             return jnp.asarray(sum(losses.values())), losses
 
