@@ -40,22 +40,37 @@ def _build_basedata(args, data_dir):
 def preprocessing(cfg, args, data_dir):
     logger = setup_logger("preprocess", "logs", 0, f"{get_timestamp()}_preprocess.txt")
     basedata = _build_basedata(args, data_dir)
+    from tspn_tpu.data.feature_store import FeatureLayout
     from tspn_tpu.data.synthetic import generate_segment_artifacts
 
-    # the 11070-d layout reserves 35-wide classeme slots (VidVRD's vocab);
-    # materializing from annotations requires category ids < 35
-    if basedata.get_object_num() > 35:
-        raise NotImplementedError(
-            "annotation-derived segment artifacts support <= 35 object "
-            "categories (the reference feature layout's classeme width); "
-            f"this dataset has {basedata.get_object_num()}. Use the "
-            "detector+tracker pipeline (tools/demo_clip.py flow) instead."
+    # the feature layout's classeme slot width comes from the config
+    # (PREDICT.OBJECT_NUM: 35 -> the reference's 11070-d VidVRD layout,
+    # 80 -> VidOR's 11160-d); the dataset's category ids must fit it
+    num_objects = cfg.PREDICT.OBJECT_NUM
+    layout = FeatureLayout.for_objects(num_objects)
+    if basedata.get_object_num() > num_objects:
+        raise ValueError(
+            f"dataset has {basedata.get_object_num()} object categories but "
+            f"PREDICT.OBJECT_NUM is {num_objects}; raise it (and set "
+            f"PREDICT.FEATURE_DIM to {FeatureLayout.for_objects(basedata.get_object_num()).dim})"
+        )
+    if cfg.PREDICT.FEATURE_DIM != layout.dim:
+        raise ValueError(
+            f"PREDICT.FEATURE_DIM={cfg.PREDICT.FEATURE_DIM} does not match "
+            f"the {num_objects}-wide classeme layout ({layout.dim}); see "
+            "configs/vidor.yaml for the VidOR widths"
         )
     splits = (
         ("training", "validation") if args.dataset == "vidor" else ("train", "test")
     )
-    logger.info("materializing per-segment relation features from annotations...")
-    count = generate_segment_artifacts(basedata, cfg.ETC.OUTPUT_DIR, splits=splits)
+    logger.info(
+        f"materializing per-segment relation features from annotations "
+        f"(classeme width {num_objects}, feature dim {layout.dim})..."
+    )
+    count = generate_segment_artifacts(
+        basedata, cfg.ETC.OUTPUT_DIR, splits=splits,
+        num_objects=num_objects, num_predicates=cfg.PREDICT.PREDICATE_NUM,
+    )
     logger.info(f"wrote artifacts for {count} segments")
 
 

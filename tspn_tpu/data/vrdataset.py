@@ -203,12 +203,13 @@ def effective_feats_dtype(cfg):
 
 def effective_feature_dim(cfg) -> int:
     """Per-pair feature width as stored in SegmentBatch leaves: the raw
-    11070 storage layout, or the aligned 11264 device layout when the
-    fused classifier is enabled."""
+    storage layout (11070 for VidVRD's 35-wide classeme, 11160 for
+    VidOR's 80), or the lane-aligned device layout (11264 / 11392) when
+    the fused classifier is enabled."""
     if cfg.MODEL.get("FUSED_CLASSIFIER", False):
-        from tspn_tpu.ops.pairwise import DEVICE_DIM
+        from tspn_tpu.data.feature_store import FeatureLayout
 
-        return DEVICE_DIM
+        return FeatureLayout.for_objects(cfg.PREDICT.OBJECT_NUM).device_dim
     return cfg.PREDICT.FEATURE_DIM
 
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tspn_tpu.data.feature_store import (
-    FEATURE_DIM,
+    FeatureLayout,
     SegmentFeatures,
     enumerate_ordered_pairs,
     write_segment_features,
@@ -141,11 +141,12 @@ def pair_relative_bow(
 @partial(jax.jit, static_argnames=("image_wh",))
 def assemble_pair_features(
     boxes: jnp.ndarray,      # (N, T, 4) tracklet boxes
-    classemes: jnp.ndarray,  # (N, 35) class logits
+    classemes: jnp.ndarray,  # (N, C) class logits (C = object-vocab width)
     pairs: jnp.ndarray,      # (P, 2) ordered pair indices
     image_wh: tuple = (1.0, 1.0),
 ) -> jnp.ndarray:
-    """-> (P, 11070) in the reference feature layout, on device."""
+    """-> (P, 2C + 11000) in the reference feature layout, on device
+    (C=35 gives the reference's 11070-d VidVRD layout)."""
     motion = tracklet_motion_bow(boxes, image_wh)  # (N, 4000)
     sub, obj = pairs[:, 0], pairs[:, 1]
     rel = pair_relative_bow(boxes[sub], boxes[obj])  # (P, 3000)
@@ -153,7 +154,7 @@ def assemble_pair_features(
         [classemes[sub], classemes[obj], motion[sub], motion[obj], rel],
         axis=-1,
     )
-    assert feats.shape[-1] == FEATURE_DIM
+    assert feats.shape[-1] == FeatureLayout.for_objects(classemes.shape[-1]).dim
     return feats
 
 
@@ -164,6 +165,7 @@ def extract_segment_artifacts(
     proposal_trajs: List[Trajectory],
     gt_trajs: Optional[List[Trajectory]] = None,
     image_wh: tuple = (1.0, 1.0),
+    num_objects: int = 35,
 ) -> Optional[SegmentFeatures]:
     """Compute + persist one segment's relation h5 (features/pairs/iou/
     trackid) from tracklets; GT tracklets (with gt_trackid set) are
@@ -178,7 +180,7 @@ def extract_segment_artifacts(
     classemes = np.stack([
         np.asarray(t.classeme, np.float32)
         if t.classeme is not None and len(t.classeme)
-        else np.zeros(35, np.float32)
+        else np.zeros(num_objects, np.float32)
         for t in all_trajs
     ])
     pairs = enumerate_ordered_pairs(n_all)

@@ -38,6 +38,8 @@ class SpanTSPN(nn.Module):
     # True when sequences carry RAW device-layout features (the fused
     # classifier normalizes its span-pooled input on device)
     fused_classifier: bool = False
+    # object-vocabulary width — sets the fused device layout's geometry
+    num_objects: int = 35
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -53,6 +55,7 @@ class SpanTSPN(nn.Module):
         self.classifier = RelationPredictor(
             num_predicates=self.num_predicates,
             fused=self.fused_classifier,
+            num_objects=self.num_objects,
             dtype=self.dtype,
         )
 

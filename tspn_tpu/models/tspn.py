@@ -36,6 +36,9 @@ class RelationPredictor(nn.Module):
     # XLA's end-to-end autodiff beats the Pallas-forward custom VJP
     # (measured 30 vs 58 ms/step at bucket 32, batch 8)
     inference: bool = False
+    # object-vocabulary width: sets the fused device layout's classeme
+    # slot (35 = VidVRD 11264-wide device layout, 80 = VidOR 11392)
+    num_objects: int = 35
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -50,23 +53,27 @@ class RelationPredictor(nn.Module):
             )(feats)
         import jax
 
+        from tspn_tpu.data.feature_store import FeatureLayout
         from tspn_tpu.ops.pairwise import (
-            DEVICE_DIM,
             normalize_classify_device,
             normalize_classify_pallas,
         )
 
+        layout = FeatureLayout.for_objects(self.num_objects)
         kernel = self.param(
             "kernel", nn.initializers.normal(stddev=0.01),
-            (DEVICE_DIM, self.num_predicates),
+            (layout.device_dim, self.num_predicates),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.num_predicates,))
         if self.inference and jax.default_backend() == "tpu":
-            flat = feats.reshape(-1, DEVICE_DIM).astype(self.dtype)
-            out = normalize_classify_pallas(flat, kernel.astype(self.dtype), bias)
+            flat = feats.reshape(-1, layout.device_dim).astype(self.dtype)
+            out = normalize_classify_pallas(
+                flat, kernel.astype(self.dtype), bias, layout=layout
+            )
             return out.reshape(*feats.shape[:-1], self.num_predicates)
         return normalize_classify_device(
-            feats.astype(self.dtype), kernel.astype(self.dtype), bias
+            feats.astype(self.dtype), kernel.astype(self.dtype), bias,
+            layout=layout,
         )
 
 
@@ -87,6 +94,7 @@ class TSPNModel(nn.Module):
     """
 
     num_predicates: int = 132
+    num_objects: int = 35
     use_ppn: bool = True
     use_dpn: bool = True
     fused_classifier: bool = False
@@ -104,6 +112,7 @@ class TSPNModel(nn.Module):
             num_predicates=self.num_predicates,
             fused=self.fused_classifier,
             inference=self.inference,
+            num_objects=self.num_objects,
             dtype=self.dtype,
         )
         if self.use_ppn:
@@ -142,6 +151,7 @@ def build_model(cfg, inference: bool = False) -> TSPNModel:
     return TSPNModel(
         inference=inference,
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
+        num_objects=cfg.PREDICT.OBJECT_NUM,
         use_ppn=cfg.RELPN.USE_PPN,
         use_dpn=cfg.RELPN.USE_DPN,
         fused_classifier=bool(cfg.MODEL.get("FUSED_CLASSIFIER", False)),

@@ -7,14 +7,20 @@ lib/modeling/model.py:76-88 is the Linear). Fusing them on device
 removes the host pass and the HBM round-trip of a normalized (P, 11070)
 intermediate.
 
-TPU alignment: the storage layout's blocks start at column 70 — not
-lane-aligned. The DEVICE layout reorders columns to
-    [ classeme(70) | relative(3000) | pad(2) | 8 x (BoW 1000 + pad 24) ]
-so every BoW block starts at 3072 + k*1024 — a multiple of 128 lanes —
-and the total is exactly 11264 = 88*128. The kernel then walks the
-blocks with aligned static slices: per row tile it computes each block's
-L1 denominator, scales, and accumulates the block's partial matmul —
-one HBM read of the features, no normalized copy, fp32 accumulation.
+TPU alignment: the storage layout's blocks start at column 2C (C = the
+classeme width: 35 for VidVRD, 80 for VidOR) — not lane-aligned. The
+DEVICE layout reorders columns to
+    [ classeme(2C) | relative(3000) | pad | 8 x (BoW 1000 + pad 24) ]
+so every BoW block starts at dev_head_pad + k*1024 — a multiple of 128
+lanes. For VidVRD the total is exactly 11264 = 88*128; VidOR 11392.
+The kernel then walks the blocks with aligned static slices: per row
+tile it computes each block's L1 denominator, scales, and accumulates
+the block's partial matmul — one HBM read of the features, no
+normalized copy, fp32 accumulation.
+
+All entry points take an optional `FeatureLayout` (hashable, so it jits
+as a static argument); omitted, the VidVRD default (or, where a storage
+width is visible, the width-inferred layout) applies.
 
 `normalize_classify` is the algebraically identical XLA path on the raw
 layout (denominators via a constant block-membership matmul), used for
@@ -31,45 +37,53 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tspn_tpu.data.feature_store import BOW_BLOCK_SIZE, BOW_BLOCK_STARTS
+from tspn_tpu.data.feature_store import DEFAULT_LAYOUT, FeatureLayout
 
-NUM_BLOCKS = len(BOW_BLOCK_STARTS)
-_HEAD = 70  # classeme columns in storage layout
-_REL_START, _REL_DIM = 8070, 3000
-
-# device layout geometry
-DEV_HEAD_DIM = _HEAD + _REL_DIM          # 3070
-DEV_HEAD_PAD = 3072                      # head padded to lane multiple
-DEV_BLOCK = 1024                         # BoW block slot (1000 + 24 pad)
-DEVICE_DIM = DEV_HEAD_PAD + NUM_BLOCKS * DEV_BLOCK  # 11264 = 88 * 128
+# VidVRD default geometry, kept as module constants for back-compat
+NUM_BLOCKS = DEFAULT_LAYOUT.num_bow_blocks
+DEV_HEAD_DIM = DEFAULT_LAYOUT.dev_head_dim    # 3070
+DEV_HEAD_PAD = DEFAULT_LAYOUT.dev_head_pad    # 3072
+DEV_BLOCK = DEFAULT_LAYOUT.dev_block          # 1024
+DEVICE_DIM = DEFAULT_LAYOUT.device_dim        # 11264 = 88 * 128
 
 
 @lru_cache(maxsize=None)
-def _permutation() -> np.ndarray:
+def _permutation(layout: FeatureLayout = DEFAULT_LAYOUT) -> np.ndarray:
     """storage column index for each device column (-1 = zero pad)."""
-    perm = np.full(DEVICE_DIM, -1, np.int64)
-    perm[:_HEAD] = np.arange(_HEAD)
-    perm[_HEAD:DEV_HEAD_DIM] = np.arange(_REL_START, _REL_START + _REL_DIM)
-    for k, start in enumerate(BOW_BLOCK_STARTS):
-        dst = DEV_HEAD_PAD + k * DEV_BLOCK
-        perm[dst : dst + BOW_BLOCK_SIZE] = np.arange(start, start + BOW_BLOCK_SIZE)
+    perm = np.full(layout.device_dim, -1, np.int64)
+    perm[: layout.head] = np.arange(layout.head)
+    perm[layout.head : layout.dev_head_dim] = np.arange(
+        layout.rel_start, layout.rel_start + layout.rel_dim
+    )
+    for k, start in enumerate(layout.bow_block_starts):
+        dst = layout.dev_head_pad + k * layout.dev_block
+        perm[dst : dst + layout.bow_block_size] = np.arange(
+            start, start + layout.bow_block_size
+        )
     return perm
 
 
-def to_device_layout(feats: np.ndarray) -> np.ndarray:
-    """(..., 11070) storage layout -> (..., 11264) aligned device layout."""
-    perm = _permutation()
-    out_shape = feats.shape[:-1] + (DEVICE_DIM,)
+def to_device_layout(feats: np.ndarray, layout: FeatureLayout = None) -> np.ndarray:
+    """(..., dim) storage layout -> (..., device_dim) aligned device layout.
+
+    Layout inferred from the storage width when not given.
+    """
+    if layout is None:
+        layout = FeatureLayout.from_dim(feats.shape[-1])
+    perm = _permutation(layout)
+    out_shape = feats.shape[:-1] + (layout.device_dim,)
     out = np.zeros(out_shape, feats.dtype)
     valid = perm >= 0
     out[..., valid] = np.asarray(feats)[..., perm[valid]]
     return out
 
 
-def weights_to_device_layout(w: np.ndarray) -> np.ndarray:
-    """(11070, R) -> (11264, R) matching to_device_layout."""
-    perm = _permutation()
-    out = np.zeros((DEVICE_DIM, w.shape[1]), w.dtype)
+def weights_to_device_layout(w: np.ndarray, layout: FeatureLayout = None) -> np.ndarray:
+    """(dim, R) -> (device_dim, R) matching to_device_layout."""
+    if layout is None:
+        layout = FeatureLayout.from_dim(w.shape[0])
+    perm = _permutation(layout)
+    out = np.zeros((layout.device_dim, w.shape[1]), w.dtype)
     valid = perm >= 0
     out[valid] = np.asarray(w)[perm[valid]]
     return out
@@ -77,7 +91,8 @@ def weights_to_device_layout(w: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------- XLA path
 def normalize_classify(
-    feats: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray
+    feats: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+    layout: FeatureLayout = None,
 ) -> jnp.ndarray:
     """XLA path on the raw storage layout: feats (..., D) -> (..., R).
 
@@ -86,102 +101,121 @@ def normalize_classify(
     algebraically equivalent but embeds huge constants that drove the
     TPU compiler to ~8 MINUTE compiles; keep constants small.)
     """
+    if layout is None:
+        layout = FeatureLayout.from_dim(feats.shape[-1])
     lead = feats.shape[:-1]
-    head = feats[..., :_HEAD]
-    bow = feats[..., _HEAD:_REL_START].reshape(*lead, NUM_BLOCKS, BOW_BLOCK_SIZE)
+    head = feats[..., : layout.head]
+    bow = feats[..., layout.head : layout.rel_start].reshape(
+        *lead, layout.num_bow_blocks, layout.bow_block_size
+    )
     denom = jnp.sum(jnp.abs(bow), axis=-1, keepdims=True)
     bow_n = (bow / jnp.where(denom > 0, denom, 1.0)).reshape(
-        *lead, NUM_BLOCKS * BOW_BLOCK_SIZE
+        *lead, layout.num_bow_blocks * layout.bow_block_size
     )
-    tail = feats[..., _REL_START:]
+    tail = feats[..., layout.rel_start :]
     xn = jnp.concatenate([head, bow_n, tail], axis=-1)
     return xn @ w + b
 
 
-def _normalize_device_layout(feats_dev: jnp.ndarray) -> jnp.ndarray:
+def _normalize_device_layout(
+    feats_dev: jnp.ndarray, layout: FeatureLayout = DEFAULT_LAYOUT
+) -> jnp.ndarray:
     """L1-normalize the aligned BoW slots of device-layout features."""
     lead = feats_dev.shape[:-1]
-    head = feats_dev[..., :DEV_HEAD_PAD]
-    bow = feats_dev[..., DEV_HEAD_PAD:].reshape(*lead, NUM_BLOCKS, DEV_BLOCK)
+    head = feats_dev[..., : layout.dev_head_pad]
+    bow = feats_dev[..., layout.dev_head_pad :].reshape(
+        *lead, layout.num_bow_blocks, layout.dev_block
+    )
     denom = jnp.sum(jnp.abs(bow), axis=-1, keepdims=True)
     bow_n = (bow / jnp.where(denom > 0, denom, 1.0)).reshape(
-        *lead, NUM_BLOCKS * DEV_BLOCK
+        *lead, layout.num_bow_blocks * layout.dev_block
     )
     return jnp.concatenate([head, bow_n], axis=-1)
 
 
 def normalize_classify_device(
-    feats_dev: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray
+    feats_dev: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
 ) -> jnp.ndarray:
     """XLA path on the DEVICE layout (differentiable; used in training by
-    the fused RelationPredictor): feats (..., DEVICE_DIM) -> (..., R)."""
-    return _normalize_device_layout(feats_dev) @ w_dev + b
+    the fused RelationPredictor): feats (..., device_dim) -> (..., R)."""
+    return _normalize_device_layout(feats_dev, layout) @ w_dev + b
 
 
-@jax.custom_vjp
+@lru_cache(maxsize=None)
+def _fused_for_layout(layout: FeatureLayout):
+    """custom_vjp fused op specialized to one layout: Pallas forward
+    kernel (one HBM read of the features, no normalized intermediate),
+    analytic XLA backward."""
+
+    @jax.custom_vjp
+    def fused(feats_dev, w_dev, b):
+        return normalize_classify_pallas(feats_dev, w_dev, b, layout=layout)
+
+    def fwd(feats_dev, w_dev, b):
+        return fused(feats_dev, w_dev, b), (feats_dev, w_dev)
+
+    def bwd(residuals, g):
+        """Backward of y = N(x) @ W + b where N L1-normalizes the BoW slots.
+
+        For a block x_b with s = sum|x_b| > 0 and upstream u = g @ W^T:
+            d x_b = u / s  -  sign(x_b) * <u, x_b> / s^2
+        (head columns pass through). All matmuls — XLA fuses freely.
+        """
+        x, w = residuals
+        g = g.astype(jnp.float32)
+        xn = _normalize_device_layout(x.astype(jnp.float32), layout)
+        dw = (xn.T @ g).astype(w.dtype)
+        db = jnp.sum(g, axis=0).astype(w.dtype)
+
+        u = g @ w.astype(jnp.float32).T  # (P, device_dim)
+        p = x.shape[0]
+        hp, nb, db_ = layout.dev_head_pad, layout.num_bow_blocks, layout.dev_block
+        xb = x[..., hp:].astype(jnp.float32).reshape(p, nb, db_)
+        ub = u[..., hp:].reshape(p, nb, db_)
+        s = jnp.sum(jnp.abs(xb), axis=-1, keepdims=True)
+        safe = s > 0
+        s1 = jnp.where(safe, s, 1.0)
+        inner = jnp.sum(ub * xb, axis=-1, keepdims=True)
+        dxb = jnp.where(safe, ub / s1 - jnp.sign(xb) * inner / (s1 * s1), ub)
+        dx = jnp.concatenate(
+            [u[..., :hp], dxb.reshape(p, nb * db_)], axis=-1
+        ).astype(x.dtype)
+        return dx, dw, db
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
 def normalize_classify_fused(
-    feats_dev: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray
+    feats_dev: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
 ) -> jnp.ndarray:
-    """Differentiable fused path: Pallas forward kernel (one HBM read of
-    the features, no normalized intermediate), analytic XLA backward.
+    """Differentiable fused path (custom VJP around the Pallas forward).
 
-    feats_dev (P, DEVICE_DIM), w_dev (DEVICE_DIM, R), b (R,) -> (P, R).
+    feats_dev (P, device_dim), w_dev (device_dim, R), b (R,) -> (P, R).
     """
-    return normalize_classify_pallas(feats_dev, w_dev, b)
-
-
-def _fused_fwd(feats_dev, w_dev, b):
-    return normalize_classify_pallas(feats_dev, w_dev, b), (feats_dev, w_dev)
-
-
-def _fused_bwd(residuals, g):
-    """Backward of y = N(x) @ W + b where N L1-normalizes the BoW slots.
-
-    For a block x_b with s = sum|x_b| > 0 and upstream u = g @ W^T:
-        d x_b = u / s  -  sign(x_b) * <u, x_b> / s^2
-    (head columns pass through). All matmuls — XLA fuses freely.
-    """
-    x, w = residuals
-    g = g.astype(jnp.float32)
-    xn = _normalize_device_layout(x.astype(jnp.float32))
-    dw = (xn.T @ g).astype(w.dtype)
-    db = jnp.sum(g, axis=0).astype(residuals[1].dtype)
-
-    u = (g @ w.astype(jnp.float32).T)  # (P, DEVICE_DIM)
-    p = x.shape[0]
-    xb = x[..., DEV_HEAD_PAD:].astype(jnp.float32).reshape(p, NUM_BLOCKS, DEV_BLOCK)
-    ub = u[..., DEV_HEAD_PAD:].reshape(p, NUM_BLOCKS, DEV_BLOCK)
-    s = jnp.sum(jnp.abs(xb), axis=-1, keepdims=True)
-    safe = s > 0
-    s1 = jnp.where(safe, s, 1.0)
-    inner = jnp.sum(ub * xb, axis=-1, keepdims=True)
-    dxb = jnp.where(safe, ub / s1 - jnp.sign(xb) * inner / (s1 * s1), ub)
-    dx = jnp.concatenate(
-        [u[..., :DEV_HEAD_PAD], dxb.reshape(p, NUM_BLOCKS * DEV_BLOCK)], axis=-1
-    ).astype(x.dtype)
-    return dx, dw, db
-
-
-normalize_classify_fused.defvjp(_fused_fwd, _fused_bwd)
+    return _fused_for_layout(layout)(feats_dev, w_dev, b)
 
 
 # -------------------------------------------------------------- Pallas path
-def _kernel(x_ref, w_ref, b_ref, o_ref):
+def _kernel(x_ref, w_ref, b_ref, o_ref, *, layout: FeatureLayout):
     # head: classeme + relative blocks pass through unnormalized
-    head = x_ref[:, :DEV_HEAD_PAD]
-    acc = jnp.dot(
-        head, w_ref[:DEV_HEAD_PAD, :], preferred_element_type=jnp.float32
-    )
-    for k in range(NUM_BLOCKS):
-        lo = DEV_HEAD_PAD + k * DEV_BLOCK
-        blk = x_ref[:, lo : lo + DEV_BLOCK]
+    hp = layout.dev_head_pad
+    head = x_ref[:, :hp]
+    acc = jnp.dot(head, w_ref[:hp, :], preferred_element_type=jnp.float32)
+    for k in range(layout.num_bow_blocks):
+        lo = hp + k * layout.dev_block
+        blk = x_ref[:, lo : lo + layout.dev_block]
         denom = jnp.sum(
             jnp.abs(blk.astype(jnp.float32)), axis=1, keepdims=True
         )
         scale = jnp.where(denom > 0, 1.0 / denom, 1.0)
         blk_n = (blk.astype(jnp.float32) * scale).astype(blk.dtype)
         acc += jnp.dot(
-            blk_n, w_ref[lo : lo + DEV_BLOCK, :], preferred_element_type=jnp.float32
+            blk_n,
+            w_ref[lo : lo + layout.dev_block, :],
+            preferred_element_type=jnp.float32,
         )
     o_ref[:] = acc + b_ref[:]
 
@@ -190,17 +224,23 @@ def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
-@partial(jax.jit, static_argnames=("row_tile",))
+@partial(jax.jit, static_argnames=("row_tile", "layout"))
 def normalize_classify_pallas(
-    feats_dev: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray, row_tile: int = 128
+    feats_dev: jnp.ndarray,
+    w_dev: jnp.ndarray,
+    b: jnp.ndarray,
+    row_tile: int = 128,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
 ) -> jnp.ndarray:
     """Fused kernel over DEVICE-layout inputs.
 
-    feats_dev (P, 11264) [to_device_layout], w_dev (11264, R)
+    feats_dev (P, device_dim) [to_device_layout], w_dev (device_dim, R)
     [weights_to_device_layout], b (R,). Returns (P, R) float32 logits.
     """
     p, d = feats_dev.shape
-    assert d == DEVICE_DIM, f"expected device layout dim {DEVICE_DIM}, got {d}"
+    assert d == layout.device_dim, (
+        f"expected device layout dim {layout.device_dim}, got {d}"
+    )
     r = w_dev.shape[1]
     rp = _round_up(r, 128)
     pp = _round_up(max(p, row_tile), row_tile)
@@ -212,7 +252,7 @@ def normalize_classify_pallas(
     bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(b.astype(jnp.float32))
 
     out = pl.pallas_call(
-        _kernel,
+        partial(_kernel, layout=layout),
         out_shape=jax.ShapeDtypeStruct((pp, rp), jnp.float32),
         grid=(pp // row_tile,),
         in_specs=[

@@ -195,7 +195,8 @@ def extract_video_artifacts(
             else []
         )
         seg = extract_segment_artifacts(
-            vid, fstart, fend, props, gts, image_wh=image_wh
+            vid, fstart, fend, props, gts, image_wh=image_wh,
+            num_objects=num_classes,
         )
         written += seg is not None
     return written

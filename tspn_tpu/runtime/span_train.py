@@ -52,6 +52,7 @@ def build_span_model(cfg) -> SpanTSPN:
         num_duration_proposals=cfg.RELPN.DPN.NUM_DURATION_PROPOSALS,
         nms_threshold=cfg.RELPN.DPN.NMS_THRESHOLD,
         fused_classifier=bool(cfg.MODEL.get("FUSED_CLASSIFIER", False)),
+        num_objects=cfg.PREDICT.OBJECT_NUM,
     )
 
 
