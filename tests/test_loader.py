@@ -80,3 +80,36 @@ def test_show_mot_results_renders(tmp_path):
     assert n == 3
     img = np.asarray(Image.open(tmp_path / "out" / "00001.jpg"))
     assert img.sum() > 0
+
+
+def test_generate_track_videos_batch(tmp_path):
+    """Batch export (reference generate_videos.py:38-66): walks result
+    files, renders matching sequences, honors seqinfo.ini frame rate."""
+    from PIL import Image
+
+    from tools.generate_track_videos import generate_videos, sequence_fps
+
+    mot = tmp_path / "mot"
+    for name in ("SEQ-01", "SEQ-02"):
+        img1 = mot / name / "img1"
+        img1.mkdir(parents=True)
+        for f in range(1, 3):
+            Image.fromarray(np.zeros((40, 50, 3), np.uint8)).save(
+                img1 / f"{f:05d}.jpg"
+            )
+    (mot / "SEQ-01" / "seqinfo.ini").write_text(
+        "[Sequence]\nname=SEQ-01\nframeRate=30\n"
+    )
+    res = tmp_path / "res"
+    res.mkdir()
+    for name in ("SEQ-01", "SEQ-02", "SEQ-MISSING"):
+        (res / f"{name}.txt").write_text("1,1,5,5,20,15,1,-1,-1,-1\n")
+
+    assert sequence_fps(str(mot / "SEQ-01")) == 30
+    assert sequence_fps(str(mot / "SEQ-02")) == 25  # default
+
+    out = tmp_path / "videos"
+    rendered = generate_videos(str(mot), str(res), str(out))
+    assert [(s, n) for s, n, _ in rendered] == [("SEQ-01", 2), ("SEQ-02", 2)]
+    img = np.asarray(Image.open(out / "SEQ-01" / "00001.jpg"))
+    assert img.sum() > 0  # track overlay drawn

@@ -86,9 +86,13 @@ def evaluate_detections(
     return mean_ap, ap_per_class
 
 
-def run_detector_eval(model, params, records: List[dict], image_loader=None):
+def run_detector_eval(
+    model, params, records: List[dict], image_loader=None, tta: bool = False
+):
     """Run FasterRCNN.detect over records and evaluate; image_loader maps
-    a record -> (H, W, 3) float image (defaults to the train module's)."""
+    a record -> (H, W, 3) float image (defaults to the train module's).
+    tta=True merges detections with the horizontal-flip augmentation
+    (FasterRCNN.detect_tta — detectron2 GeneralizedRCNNWithTTA parity)."""
     import jax
     import jax.numpy as jnp
 
@@ -96,8 +100,9 @@ def run_detector_eval(model, params, records: List[dict], image_loader=None):
     from tspn_tpu.detection.train import load_record_image
 
     loader = image_loader or load_record_image
+    method = FasterRCNN.detect_tta if tta else FasterRCNN.detect
     detect = jax.jit(
-        lambda p, im: model.apply({"params": p}, im, method=FasterRCNN.detect)
+        lambda p, im: model.apply({"params": p}, im, method=method)
     )
     detections = {}
     for rec in records:

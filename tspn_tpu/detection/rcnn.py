@@ -212,6 +212,40 @@ class FasterRCNN(nn.Module):
             "mask": keep,
         }
 
+    def detect_tta(self, image: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Test-time augmentation: detect on the image AND its horizontal
+        mirror, map mirrored boxes back, and merge the two candidate sets
+        with one class-aware NMS at the same fixed capacity.
+
+        The reference's full trainer exposes this through detectron2's
+        GeneralizedRCNNWithTTA (--eval-only TTA,
+        /root/reference/detectron/train.py:44-68); hflip is detectron2's
+        default TTA transform.
+        """
+        from tspn_tpu.ops.boxes import hflip_boxes
+
+        c = self.cfg
+        h, w = image.shape[:2]
+        d0 = self.detect(image)
+        d1 = self.detect(image[:, ::-1, :])
+        boxes = jnp.concatenate([d0["boxes"], hflip_boxes(d1["boxes"], w)])
+        scores = jnp.concatenate([d0["scores"], d1["scores"]])
+        classes = jnp.concatenate([d0["classes"], d1["classes"]])
+        valid = jnp.concatenate(
+            [jnp.asarray(d0["mask"], bool), jnp.asarray(d1["mask"], bool)]
+        )
+        offset = classes[:, None] * (max(h, w) + 2.0)
+        idx, keep = nms(
+            boxes + offset, scores, c.test_nms_threshold,
+            c.max_detections, valid=valid,
+        )
+        return {
+            "boxes": boxes[idx],
+            "scores": scores[idx] * keep,
+            "classes": classes[idx],
+            "mask": keep,
+        }
+
     def roi_classeme(self, image: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
         """Class logits for externally supplied boxes (the classeme the
         relation stage consumes); (R, num_classes+1)."""

@@ -4,9 +4,19 @@ Counterpart of /root/reference/detectron/trainer.py:23-40 /
 train.py:130-173 without detectron2: the same operating point
 (IMS_PER_BATCH 4, BASE_LR 2.5e-4, MAX_ITER 100k, ROI batch 128,
 NUM_CLASSES 35 — trainer.py:29-33) driving the flax FasterRCNN with an
-SGD+momentum optax chain, batch sharded over the device mesh. Images
-are letterbox-resized to a fixed training resolution so one XLA program
-serves the whole run.
+SGD+momentum optax chain, batch sharded over the device mesh.
+
+Input policies (config-selectable):
+  - "letterbox": scale the long side to a fixed square — one XLA program
+    for the whole run (cheapest; round-1 behavior).
+  - "shortest_edge": detectron2's ResizeShortestEdge semantics (the
+    policy the reference inherits — min side -> 800 unless the long side
+    would exceed 1333, /root/reference/lib/dataset/transforms/
+    transforms.py:31-63 and detectron2's defaults at trainer.py:24-33),
+    padded into one of TWO orientation buckets (landscape / portrait) so
+    XLA compiles exactly two programs; batches are grouped by
+    orientation like the reference's GroupedBatchSampler
+    (lib/dataset/samplers/grouped_batch_sampler.py:10-115).
 """
 
 from __future__ import annotations
@@ -34,6 +44,55 @@ class DetectorTrainConfig(NamedTuple):
     image_size: int = 640         # square letterbox target
     max_gt_boxes: int = 32
     log_every: int = 20
+    # input policy: "letterbox" (fixed square) or "shortest_edge"
+    # (detectron2 800/1333 semantics, two orientation buckets)
+    input_policy: str = "letterbox"
+    min_size: int = 800           # detectron2 MIN_SIZE_TRAIN default
+    max_size: int = 1333          # detectron2 MAX_SIZE_TRAIN default
+    pad_multiple: int = 32        # bucket dims round up to this
+    # in-training evaluation (reference inherits detectron2's
+    # DefaultTrainer evaluator hooks, detectron/train.py:44-128)
+    eval_every: int = 0           # 0 disables the hook
+    keep_best: bool = True        # track/save best-mAP params
+
+
+def shortest_edge_scale(h: int, w: int, min_size: int, max_size: int) -> float:
+    """detectron2 ResizeShortestEdge: scale the short side to min_size
+    unless that would push the long side past max_size."""
+    scale = min_size / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    return scale
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def input_bucket_shape(
+    h: int, w: int, cfg: "DetectorTrainConfig"
+) -> tuple[int, int]:
+    """Padded canvas for an image under the active policy: the square
+    letterbox, or one of exactly two orientation buckets — landscape
+    (min, max) / portrait (max, min) — so XLA compiles two programs."""
+    if cfg.input_policy == "letterbox":
+        return cfg.image_size, cfg.image_size
+    short = _round_up(cfg.min_size, cfg.pad_multiple)
+    long_ = _round_up(cfg.max_size, cfg.pad_multiple)
+    return (short, long_) if w >= h else (long_, short)
+
+
+def resize_shortest_edge(
+    image: np.ndarray, boxes: np.ndarray, min_size: int, max_size: int
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Aspect-preserving resize at detectron2 semantics; returns
+    (resized image, scaled boxes, scale)."""
+    h, w = image.shape[:2]
+    scale = shortest_edge_scale(h, w, min_size, max_size)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    ys = np.clip((np.arange(nh) / scale).astype(int), 0, h - 1)
+    xs = np.clip((np.arange(nw) / scale).astype(int), 0, w - 1)
+    return image[ys][:, xs], boxes * scale, scale
 
 
 def load_record_image(record: dict) -> np.ndarray:
@@ -64,12 +123,25 @@ def letterbox(
     return out, boxes * scale, scale
 
 
+def record_hw(rec: dict) -> tuple[int, int]:
+    """(height, width) without decoding the image when possible."""
+    if "height" in rec and "width" in rec:
+        return int(rec["height"]), int(rec["width"])
+    img = np.asarray(rec["image"]) if "image" in rec else load_record_image(rec)
+    return img.shape[0], img.shape[1]
+
+
 def make_batch(
     records: List[dict], cfg: DetectorTrainConfig
 ) -> Dict[str, np.ndarray]:
+    """Records -> padded batch under the active input policy. With
+    "shortest_edge", every record must share an orientation bucket (the
+    train loop groups by aspect ratio, mirroring GroupedBatchSampler)."""
     b = len(records)
     g = cfg.max_gt_boxes
-    images = np.zeros((b, cfg.image_size, cfg.image_size, 3), np.float32)
+    h0, w0 = record_hw(records[0])
+    ch, cw = input_bucket_shape(h0, w0, cfg)
+    images = np.zeros((b, ch, cw, 3), np.float32)
     gt_boxes = np.zeros((b, g, 4), np.float32)
     gt_classes = np.zeros((b, g), np.int32)
     gt_mask = np.zeros((b, g), np.float32)
@@ -78,8 +150,18 @@ def make_batch(
         boxes = np.asarray(
             [a["bbox"] for a in rec["annotations"]], np.float32
         ).reshape(-1, 4)
-        img, boxes, _ = letterbox(img, boxes, cfg.image_size)
-        images[i] = img
+        if cfg.input_policy == "letterbox":
+            img, boxes, _ = letterbox(img, boxes, cfg.image_size)
+            images[i] = img
+        else:
+            assert input_bucket_shape(*img.shape[:2], cfg) == (ch, cw), (
+                "mixed orientation buckets in one batch — group records "
+                "by aspect ratio before batching"
+            )
+            img, boxes, _ = resize_shortest_edge(
+                img, boxes, cfg.min_size, cfg.max_size
+            )
+            images[i, : img.shape[0], : img.shape[1]] = img
         n = min(len(boxes), g)
         gt_boxes[i, :n] = boxes[:n]
         gt_classes[i, :n] = [a["category_id"] for a in rec["annotations"]][:n]
@@ -88,6 +170,22 @@ def make_batch(
         "image": images, "gt_boxes": gt_boxes,
         "gt_classes": gt_classes, "gt_mask": gt_mask,
     }
+
+
+def group_by_orientation(
+    records: List[dict], cfg: DetectorTrainConfig
+) -> List[np.ndarray]:
+    """Index groups whose members share an input bucket (one group for
+    letterbox; landscape/portrait for shortest_edge). Mirrors the
+    reference's aspect-ratio grouping
+    (lib/dataset/samplers/grouped_batch_sampler.py:10-115)."""
+    if cfg.input_policy == "letterbox":
+        return [np.arange(len(records))]
+    buckets: Dict[tuple, list] = {}
+    for i, rec in enumerate(records):
+        h, w = record_hw(rec)
+        buckets.setdefault(input_bucket_shape(h, w, cfg), []).append(i)
+    return [np.asarray(v) for v in buckets.values()]
 
 
 def build_detector_optimizer(cfg: DetectorTrainConfig) -> optax.GradientTransformation:
@@ -147,8 +245,16 @@ def train_detector(
     logger=None,
     use_mesh: bool = False,
     checkpoint_path: Optional[str] = None,
+    eval_records: Optional[List[dict]] = None,
 ):
-    """Train and return (model, params)."""
+    """Train and return (model, params).
+
+    With eval_records and train_cfg.eval_every > 0, a periodic in-training
+    evaluation hook (the reference inherits this from detectron2's
+    DefaultTrainer evaluator zoo, detectron/train.py:44-128) computes
+    held-out mAP, logs it, and — with keep_best — returns/saves the
+    best-mAP parameters instead of the last ones.
+    """
     if logger is None:
         logger = setup_logger("detector_train", save_dir="logs")
     model = FasterRCNN(cfg=det_cfg)
@@ -166,10 +272,19 @@ def train_detector(
     mesh = make_mesh() if use_mesh else None
     step_fn = make_detector_train_step(model, optimizer, mesh)
 
+    groups = group_by_orientation(records, train_cfg)
+    weights = np.asarray([len(g) for g in groups], np.float64)
+    weights /= weights.sum()
+
+    do_eval = bool(eval_records) and train_cfg.eval_every > 0
+    best_map, best_params, eval_history = -1.0, None, []
+
     meters = MetricLogger()
     end = time.time()
     for it in range(train_cfg.max_iter):
-        idx = rng.choice(len(records), size=train_cfg.ims_per_batch, replace=True)
+        group = groups[rng.choice(len(groups), p=weights)]
+        idx = group[rng.choice(len(group), size=train_cfg.ims_per_batch,
+                               replace=True)]
         batch = make_batch([records[i] for i in idx], train_cfg)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
@@ -178,6 +293,20 @@ def train_detector(
         end = time.time()
         if it % train_cfg.log_every == 0:
             logger.info(f"[{it + 1}/{train_cfg.max_iter}]  {meters}")
+        if do_eval and (it + 1) % train_cfg.eval_every == 0:
+            from tspn_tpu.detection.eval import run_detector_eval
+
+            mean_ap, _per_class = run_detector_eval(model, params, eval_records)
+            eval_history.append((it + 1, mean_ap))
+            if train_cfg.keep_best and mean_ap > best_map:
+                best_map = mean_ap
+                best_params = jax.tree_util.tree_map(np.asarray, params)
+            logger.info(f"[eval @ {it + 1}] mAP = {mean_ap:.4f} (best {best_map:.4f})")
+            end = time.time()  # eval time is not step time
+
+    if do_eval and train_cfg.keep_best and best_params is not None:
+        logger.info(f"returning best-mAP params (mAP {best_map:.4f})")
+        params = best_params
 
     if checkpoint_path:
         from tspn_tpu.runtime.checkpoint import save_checkpoint
@@ -185,3 +314,30 @@ def train_detector(
         save_checkpoint(checkpoint_path, params, opt_state, step=train_cfg.max_iter)
         logger.info(f"detector checkpoint saved: {checkpoint_path}")
     return model, params
+
+
+def launch(
+    main_fn,
+    num_machines: int = 1,
+    machine_rank: int = 0,
+    dist_url: Optional[str] = None,
+    args: tuple = (),
+):
+    """Multi-machine launcher with the reference's detectron2 `launch`
+    contract (/root/reference/detectron/train.py:159-173), TPU-native:
+    instead of spawning one process per GPU and rendezvousing over NCCL,
+    each MACHINE runs one process that drives all its local chips through
+    the mesh; cross-machine collectives ride jax.distributed (ICI/DCN).
+
+    dist_url: "host:port" of machine 0 (detectron2's tcp:// prefix is
+    accepted and stripped). With num_machines == 1 this is a plain call.
+    """
+    if num_machines > 1:
+        coordinator = (dist_url or "").replace("tcp://", "")
+        assert coordinator, "dist_url required for multi-machine launch"
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_machines,
+            process_id=machine_rank,
+        )
+    return main_fn(*args)

@@ -62,6 +62,15 @@ def clip_boxes(boxes: jnp.ndarray, height: float, width: float) -> jnp.ndarray:
     return jnp.stack([x0, y0, x1, y1], axis=-1)
 
 
+def hflip_boxes(boxes: jnp.ndarray, width: float) -> jnp.ndarray:
+    """Map xyxy boxes between an image and its horizontal mirror
+    (self-inverse). Used by detector test-time augmentation."""
+    return jnp.stack(
+        [width - boxes[..., 2], boxes[..., 1], width - boxes[..., 0], boxes[..., 3]],
+        axis=-1,
+    )
+
+
 def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(boxes[..., 2] - boxes[..., 0], 0.0) * jnp.clip(
         boxes[..., 3] - boxes[..., 1], 0.0
