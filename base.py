@@ -73,6 +73,20 @@ def preprocessing(cfg, args, data_dir):
     )
     logger.info(f"wrote artifacts for {count} segments")
 
+    mode = str(cfg.PREDICT.get("CONSOLIDATED", "") or "")
+    if mode:
+        # the reference's actual --preprocess intent (base.py:36-39 there):
+        # one consolidated hdf5 per split; "q8" additionally quantizes to
+        # int8 device-layout rows for the fast inference path
+        from tspn_tpu.data.preprocess import consolidate_split
+
+        assert mode in ("f32", "q8"), f"PREDICT.CONSOLIDATED={mode!r}"
+        for split in splits:
+            path = consolidate_split(
+                cfg, basedata, split, quantize=(mode == "q8")
+            )
+            logger.info(f"consolidated {split} -> {path}")
+
 
 def _maybe_init_distributed():
     """Multi-host rendezvous via env (set by dist_train.sh), replacing the

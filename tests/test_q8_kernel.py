@@ -1,0 +1,177 @@
+"""int8 feature path for the fused pair-scoring kernel.
+
+Quantization design (ops/pairwise.py): BoW blocks quantize per-block
+max-scaled — the scale cancels exactly in L1 normalization; head columns
+quantize per-row with one stored f32 scale that factors out of the
+linear map. These tests pin the exactness arguments and the Pallas/XLA
+parity.
+"""
+
+import numpy as np
+import pytest
+
+from tspn_tpu.data.feature_store import FeatureLayout, l1_normalize_bow_blocks
+from tspn_tpu.ops.pairwise import (
+    DEFAULT_LAYOUT,
+    normalize_classify,
+    normalize_classify_q8,
+    normalize_classify_q8_pallas,
+    to_device_layout,
+    to_device_layout_q8,
+    weights_to_device_layout,
+)
+
+
+@pytest.fixture
+def inputs(rng):
+    lo = DEFAULT_LAYOUT
+    p, r = 7, 5
+    feats = np.zeros((p, lo.dim), np.float32)
+    feats[:, : lo.head] = rng.randn(p, lo.head) * 3
+    # sparse small-count BoW (the real features are histogram counts)
+    feats[:, lo.bow_start : lo.rel_start] = (
+        rng.randint(0, 6, size=(p, lo.rel_start - lo.bow_start))
+        * (rng.rand(p, lo.rel_start - lo.bow_start) < 0.05)
+    )
+    feats[:, lo.rel_start :] = rng.randn(p, lo.rel_dim) * 0.2
+    w = (rng.randn(lo.dim, r) * 0.01).astype(np.float32)
+    b = rng.randn(r).astype(np.float32)
+    return lo, feats, w, b
+
+
+def test_quantizer_shapes_and_range(inputs):
+    lo, feats, w, b = inputs
+    q, s = to_device_layout_q8(feats)
+    assert q.shape == (feats.shape[0], lo.device_dim) and q.dtype == np.int8
+    assert s.shape == (feats.shape[0],) and (s > 0).all()
+    assert np.abs(q).max() <= 127
+    # head reconstruction error bounded by half a quantization step
+    dev = to_device_layout(feats)
+    hp = lo.dev_head_pad
+    np.testing.assert_allclose(
+        q[:, :hp].astype(np.float32) * s[:, None], dev[:, :hp],
+        atol=(s.max() / 2) + 1e-6,
+    )
+
+
+def test_bow_scale_cancellation_binary_exact(rng):
+    """Binary BoW blocks quantize to exactly 127*x, so the normalized
+    ratios — and hence the BoW logit contribution — are EXACT."""
+    lo = DEFAULT_LAYOUT
+    p, r = 5, 4
+    feats = np.zeros((p, lo.dim), np.float32)
+    feats[:, lo.bow_start : lo.rel_start] = (
+        rng.rand(p, lo.rel_start - lo.bow_start) < 0.01
+    )
+    w = (rng.randn(lo.dim, r) * 0.01).astype(np.float32)
+    b = np.zeros(r, np.float32)
+    q, s = to_device_layout_q8(feats)
+    w_dev = weights_to_device_layout(w)
+    ref = l1_normalize_bow_blocks(feats) @ w + b
+    out = np.asarray(normalize_classify_q8(q, s, w_dev, b))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_q8_close_to_f32_generic(inputs):
+    """Generic data: quantization error on the logits stays small
+    relative to the logit scale (head: per-row 1/254 relative steps;
+    BoW: ratio rounding)."""
+    lo, feats, w, b = inputs
+    q, s = to_device_layout_q8(feats)
+    w_dev = weights_to_device_layout(w)
+    ref = np.asarray(normalize_classify(feats, w, b))
+    out = np.asarray(normalize_classify_q8(q, s, w_dev, b))
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() / scale < 0.02, (
+        np.abs(out - ref).max(), scale
+    )
+
+
+def test_q8_pallas_matches_xla(inputs):
+    lo, feats, w, b = inputs
+    q, s = to_device_layout_q8(feats)
+    w_dev = weights_to_device_layout(w)
+    ref = np.asarray(normalize_classify_q8(q, s, w_dev, b))
+    out = np.asarray(normalize_classify_q8_pallas(q, s, w_dev, b))
+    # kernel computes the matmul in bf16 (int8 values are exact in bf16;
+    # the accumulation is f32) — tolerance covers the bf16 WEIGHTS
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_q8i8_weight_quantization_roundtrip(rng):
+    from tspn_tpu.ops.pairwise import quantize_weights_percol
+
+    w = (rng.randn(100, 7) * 0.01).astype(np.float32)
+    qw, sw = quantize_weights_percol(w)
+    assert qw.dtype == np.int8 and sw.shape == (7,)
+    np.testing.assert_allclose(
+        qw.astype(np.float32) * sw[None, :], w, atol=(sw.max() / 2) + 1e-9
+    )
+
+
+def test_q8i8_close_to_f32(inputs):
+    from tspn_tpu.ops.pairwise import (
+        normalize_classify_q8i8,
+        quantize_weights_percol,
+    )
+
+    lo, feats, w, b = inputs
+    q, s = to_device_layout_q8(feats)
+    qw, sw = quantize_weights_percol(weights_to_device_layout(w))
+    ref = np.asarray(normalize_classify(feats, w, b))
+    out = np.asarray(normalize_classify_q8i8(q, s, qw, sw, b))
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() / scale < 0.03, (
+        np.abs(out - ref).max(), scale
+    )
+
+
+def test_q8i8_pallas_matches_xla(inputs):
+    from tspn_tpu.ops.pairwise import (
+        normalize_classify_q8i8,
+        normalize_classify_q8i8_pallas,
+        quantize_weights_percol,
+    )
+
+    lo, feats, w, b = inputs
+    q, s = to_device_layout_q8(feats)
+    qw, sw = quantize_weights_percol(weights_to_device_layout(w))
+    ref = np.asarray(normalize_classify_q8i8(q, s, qw, sw, b))
+    out = np.asarray(normalize_classify_q8i8_pallas(q, s, qw, sw, b))
+    # integer dots are exact; scales are f32 in both — tight tolerance
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_q8s_precomputed_scales_match_q8i8(inputs):
+    """The scales-precomputed kernel must equal the in-kernel-reduction
+    int8 path exactly (same integer dots, same f32 scale algebra)."""
+    from tspn_tpu.ops.pairwise import (
+        normalize_classify_q8i8,
+        normalize_classify_q8s_pallas,
+        precompute_q8_scales,
+        quantize_weights_percol,
+    )
+
+    lo, feats, w, b = inputs
+    q, s = to_device_layout_q8(feats)
+    scales = precompute_q8_scales(q, s)
+    assert scales.shape == (feats.shape[0], 16)
+    qw, sw = quantize_weights_percol(weights_to_device_layout(w))
+    ref = np.asarray(normalize_classify_q8i8(q, s, qw, sw, b))
+    out = np.asarray(normalize_classify_q8s_pallas(q, scales, qw, sw, b))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_q8_vidor_layout(rng):
+    lo = FeatureLayout.for_objects(80)
+    p, r = 4, 3
+    feats = rng.rand(p, lo.dim).astype(np.float32)
+    q, s = to_device_layout_q8(feats)
+    assert q.shape[-1] == lo.device_dim
+    w = (rng.randn(lo.dim, r) * 0.01).astype(np.float32)
+    b = np.zeros(r, np.float32)
+    ref = np.asarray(normalize_classify_q8(q, s, weights_to_device_layout(w), b, layout=lo))
+    out = np.asarray(normalize_classify_q8_pallas(
+        q, s, weights_to_device_layout(w), b, layout=lo
+    ))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)

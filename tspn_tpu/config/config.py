@@ -164,6 +164,13 @@ def get_default_config() -> Config:
                 "TOPK_PER_PAIR": 20,
                 "TOPK_PER_SEG": 200,
                 "FEATURE_DIM": 11070,
+                # ---- TPU-native extension: consolidated inference store
+                # "" = per-segment h5 files (reference layout);
+                # "f32" / "q8" = --preprocess additionally consolidates the
+                # split into one HDF5 (the reference's broken-preprocess
+                # intent) and --detect serves segments from it; "q8" stores
+                # int8 device-layout rows scored by the quantized kernel
+                "CONSOLIDATED": "",
             },
             "RELPN": {
                 "OBJECT_DIM": 1024,

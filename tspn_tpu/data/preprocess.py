@@ -7,12 +7,23 @@ single preprocessed_{split}_dataset.hdf5 holding feats / pairs /
 pred_label for the whole split. This implements that contract on top of
 SegmentDataset: one pass over all segments, rows concatenated, with a
 segment index table so samples remain traceable.
+
+Inference fast path: `consolidate_split(..., quantize=True)` stores the
+pair features as int8 in the aligned device layout (ops/pairwise
+quantization: BoW block scales cancel in L1 normalization, the head
+keeps one f32 scale per row) plus everything predict needs per segment
+(iou / trackid / cls_logits / proposal counts). One open file with
+contiguous per-segment row slabs replaces thousands of per-segment h5
+opens — the measured host bottleneck of e2e inference on this 1-core
+host — and the rows ship to the device at 1 byte/column (4x smaller
+reads than f32, half the transfer of bf16), scored by the q8 Pallas
+kernel without ever materializing a float feature row.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import List, Optional
 
 import h5py
 import numpy as np
@@ -21,33 +32,94 @@ from tspn_tpu.data.segments import get_output_dir
 from tspn_tpu.data.vrdataset import SegmentDataset
 
 
+def consolidated_path(phase: str) -> str:
+    root = os.path.join(get_output_dir(), "preprocessed_data")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"preprocessed_{phase}_dataset.hdf5")
+
+
 def consolidate_split(
-    cfg, dataset, phase: str, output_path: Optional[str] = None
+    cfg, dataset, phase: str, output_path: Optional[str] = None,
+    quantize: bool = False,
 ) -> str:
     """Write preprocessed_{phase}_dataset.hdf5; returns the path.
 
-    Datasets: feats (R, D), pairs (R, 2), pred_label (R, P),
-    segment_id (R,) int index into the string table `segments`.
+    Core datasets (reference intent, lib/deprecated/preprocess.py:217-227):
+      feats (R, D), pairs (R, 2), pred_label (R, P),
+      segment_id (R,) int index into the string table `segments`.
+
+    Added for the inference fast path (always): per-segment row ranges
+    `row_ranges` (S, 2); ragged iou / trackid / cls_logits flattened with
+    offset tables; num_proposals (S,).
+
+    quantize=True: feats become int8 device-layout rows plus
+    `head_scale` (R,) f32 (see ops/pairwise.to_device_layout_q8); attrs
+    record the mode. Quantization includes the device relayout, so the
+    pass always reads RAW storage-layout features (FUSED_CLASSIFIER is
+    forced off for the consolidation read regardless of the config).
     """
+    if quantize and cfg.MODEL.get("FUSED_CLASSIFIER", False):
+        cfg = cfg.clone()
+        cfg.MODEL.FUSED_CLASSIFIER = False
     seg_dataset = SegmentDataset(cfg, dataset, phase=phase)
     assert len(seg_dataset) > 0, f"no segments with features for phase {phase}"
     if output_path is None:
-        root = os.path.join(get_output_dir(), "preprocessed_data")
-        os.makedirs(root, exist_ok=True)
-        output_path = os.path.join(root, f"preprocessed_{phase}_dataset.hdf5")
+        output_path = consolidated_path(phase)
+    if quantize:
+        from tspn_tpu.data.feature_store import FeatureLayout
+        from tspn_tpu.ops.pairwise import (
+            precompute_q8_scales,
+            to_device_layout_q8,
+        )
 
-    feats, pairs, labels, seg_ids, signatures = [], [], [], [], []
+        layout = FeatureLayout.for_objects(cfg.PREDICT.OBJECT_NUM)
+
+    feats, scales, pairs, labels, seg_ids, signatures = [], [], [], [], [], []
+    row_ranges: List[tuple] = []
+    ious, iou_offsets = [], [0]
+    trackids, tid_offsets = [], [0]
+    cls_logits, cls_offsets = [], [0]
+    num_proposals = []
+    row = 0
     for i in range(len(seg_dataset)):
         rec = seg_dataset.load_segment(i)
         vid, fstart, fend = rec.index
         signatures.append(f"{vid}-{fstart:04d}-{fend:04d}")
-        feats.append(rec.feats)
+        if quantize:
+            q, s = to_device_layout_q8(rec.feats, layout)
+            feats.append(q)
+            scales.append(precompute_q8_scales(q, s, layout))
+        else:
+            feats.append(rec.feats)
         pairs.append(rec.pairs)
         labels.append(rec.labels)
         seg_ids.append(np.full(rec.feats.shape[0], i, np.int64))
+        row_ranges.append((row, row + rec.feats.shape[0]))
+        row += rec.feats.shape[0]
+        ious.append(np.asarray(rec.iou, np.float32).reshape(-1))
+        iou_offsets.append(iou_offsets[-1] + ious[-1].size)
+        trackids.append(np.asarray(rec.trackid, np.int64))
+        tid_offsets.append(tid_offsets[-1] + trackids[-1].size)
+        cls_logits.append(
+            np.asarray(rec.cls_logits, np.float32).reshape(-1)
+        )
+        cls_offsets.append(cls_offsets[-1] + cls_logits[-1].size)
+        num_proposals.append(rec.num_proposals)
 
     with h5py.File(output_path, "w") as f:
-        f.create_dataset("feats", data=np.concatenate(feats).astype(np.float32))
+        if quantize:
+            f.create_dataset("feats", data=np.concatenate(feats).astype(np.int8))
+            # (R, 16) precomputed row multipliers: [head scale, 8 x 1/L1]
+            f.create_dataset("q8_scales",
+                             data=np.concatenate(scales).astype(np.float32))
+            f.attrs["quantized"] = True
+            f.attrs["device_dim"] = layout.device_dim
+            f.attrs["classeme_dim"] = layout.classeme_dim
+        else:
+            f.create_dataset("feats", data=np.concatenate(feats).astype(np.float32))
+            f.attrs["quantized"] = False
+        f.attrs["num_objects"] = seg_dataset.num_objects
+        f.attrs["num_predicates"] = seg_dataset.num_predicates
         f.create_dataset("pairs", data=np.concatenate(pairs).astype(np.int64))
         f.create_dataset("pred_label", data=np.concatenate(labels).astype(np.float32))
         f.create_dataset("segment_id", data=np.concatenate(seg_ids))
@@ -55,12 +127,21 @@ def consolidate_split(
             "segments",
             data=np.asarray(signatures, dtype=h5py.string_dtype()),
         )
+        f.create_dataset("row_ranges", data=np.asarray(row_ranges, np.int64))
+        f.create_dataset("iou_flat", data=np.concatenate(ious))
+        f.create_dataset("iou_offsets", data=np.asarray(iou_offsets, np.int64))
+        f.create_dataset("trackid_flat", data=np.concatenate(trackids))
+        f.create_dataset("trackid_offsets", data=np.asarray(tid_offsets, np.int64))
+        f.create_dataset("cls_logits_flat", data=np.concatenate(cls_logits))
+        f.create_dataset("cls_logits_offsets",
+                         data=np.asarray(cls_offsets, np.int64))
+        f.create_dataset("num_proposals", data=np.asarray(num_proposals, np.int64))
     return output_path
 
 
 def load_consolidated(path: str) -> dict:
     with h5py.File(path, "r") as f:
-        return {
+        out = {
             "feats": np.asarray(f["feats"]),
             "pairs": np.asarray(f["pairs"]),
             "pred_label": np.asarray(f["pred_label"]),
@@ -68,3 +149,119 @@ def load_consolidated(path: str) -> dict:
             "segments": [s.decode() if isinstance(s, bytes) else s
                          for s in f["segments"]],
         }
+        if bool(f.attrs.get("quantized", False)):
+            out["q8_scales"] = np.asarray(f["q8_scales"])
+        return out
+
+
+class ConsolidatedStore:
+    """Random access to one consolidated split file: per-segment
+    SegmentRecord-shaped reads from a single open handle (contiguous row
+    slabs instead of per-segment h5 opens)."""
+
+    def __init__(self, path: str):
+        self._f = h5py.File(path, "r")
+        self.quantized = bool(self._f.attrs.get("quantized", False))
+        self.num_objects = int(self._f.attrs["num_objects"])
+        self.num_predicates = int(self._f.attrs["num_predicates"])
+        self.signatures = [
+            s.decode() if isinstance(s, bytes) else s
+            for s in self._f["segments"][:]
+        ]
+        self.row_ranges = np.asarray(self._f["row_ranges"][:])
+        self._iou_off = np.asarray(self._f["iou_offsets"][:])
+        self._tid_off = np.asarray(self._f["trackid_offsets"][:])
+        self._cls_off = np.asarray(self._f["cls_logits_offsets"][:])
+        self.num_proposals = np.asarray(self._f["num_proposals"][:])
+        # signature -> local index
+        self.index_of = {sig: k for k, sig in enumerate(self.signatures)}
+
+    def close(self):
+        self._f.close()
+
+    def __len__(self) -> int:
+        return len(self.signatures)
+
+    def read(self, k: int):
+        """-> dict with feats [+ head_scale], pairs, labels, cls_logits,
+        iou, trackid, num_proposals for consolidated segment k."""
+        lo, hi = self.row_ranges[k]
+        n_tid = self._tid_off[k + 1] - self._tid_off[k]
+        n_all = int(np.sqrt(self._iou_off[k + 1] - self._iou_off[k]))
+        out = {
+            "feats": np.asarray(self._f["feats"][lo:hi]),
+            "pairs": np.asarray(self._f["pairs"][lo:hi]),
+            "labels": np.asarray(self._f["pred_label"][lo:hi]),
+            "iou": np.asarray(
+                self._f["iou_flat"][self._iou_off[k] : self._iou_off[k + 1]]
+            ).reshape(n_all, n_all),
+            "trackid": np.asarray(
+                self._f["trackid_flat"][self._tid_off[k] : self._tid_off[k + 1]]
+            ),
+            "cls_logits": np.asarray(
+                self._f["cls_logits_flat"][self._cls_off[k] : self._cls_off[k + 1]]
+            ).reshape(-1, self.num_objects),
+            "num_proposals": int(self.num_proposals[k]),
+        }
+        assert n_tid == n_all
+        if self.quantized:
+            out["q8_scales"] = np.asarray(self._f["q8_scales"][lo:hi])
+        return out
+
+
+def _parse_signature(sig: str):
+    """'<vid>-<fstart:04d>-<fend:04d>' -> (vid, fstart, fend); vids may
+    themselves contain dashes, so split from the right."""
+    vid, fstart, fend = sig.rsplit("-", 2)
+    return vid, int(fstart), int(fend)
+
+
+class ConsolidatedSegmentDataset:
+    """SegmentDataset-shaped view over one consolidated split file.
+
+    Serves the loader/predict contract (index / load_segment /
+    num_proposals_of) from a single open HDF5 handle — no per-segment
+    file opens, no label matching, no normalization pass (all baked at
+    consolidation time). With a quantized store, records carry int8
+    device-layout features + per-row head scales for the q8 kernel.
+    """
+
+    def __init__(self, cfg, store_path: str):
+        from tspn_tpu.data.vrdataset import SegmentRecord  # noqa: F401
+
+        self.cfg = cfg
+        self.store = ConsolidatedStore(store_path)
+        self.quantized = self.store.quantized
+        self.num_predicates = self.store.num_predicates
+        self.num_objects = self.store.num_objects
+        assert self.num_predicates == cfg.PREDICT.PREDICATE_NUM, (
+            f"store has {self.num_predicates} predicates, config "
+            f"{cfg.PREDICT.PREDICATE_NUM}"
+        )
+        self.index = [_parse_signature(s) for s in self.store.signatures]
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def num_proposals_of(self, idx: int) -> int:
+        return int(self.store.num_proposals[idx])
+
+    def feature_width(self) -> int:
+        """Stored per-pair width (device_dim when quantized)."""
+        return int(self.store._f["feats"].shape[1])
+
+    def load_segment(self, idx: int):
+        from tspn_tpu.data.vrdataset import SegmentRecord
+
+        rec = self.store.read(idx)
+        return SegmentRecord(
+            index=self.index[idx],
+            feats=rec["feats"],
+            pairs=rec["pairs"].astype(np.int64),
+            labels=rec["labels"],
+            cls_logits=rec["cls_logits"],
+            num_proposals=rec["num_proposals"],
+            iou=rec["iou"],
+            trackid=rec["trackid"].astype(np.int64),
+            q8_scales=rec.get("q8_scales"),
+        )

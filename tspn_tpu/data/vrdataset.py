@@ -48,13 +48,18 @@ class SegmentRecord:
     """One segment's proposal-pair features and labels (ragged, host)."""
 
     index: SegmentIndex
-    feats: np.ndarray       # (P, D) float32, BoW blocks L1-normalized
+    feats: np.ndarray       # (P, D) float32, BoW blocks L1-normalized —
+    #                         or int8 device layout when head_scale is set
     pairs: np.ndarray       # (P, 2) int64 — proposal tracklet indices
     labels: np.ndarray      # (P, num_predicates) float32 multi-hot
     cls_logits: np.ndarray  # (N, num_objects) float32 per-tracklet classeme
     num_proposals: int      # N (= tracklets with trackid < 0)
     iou: np.ndarray         # (N+GT, N+GT) float32 — kept for prediction output
     trackid: np.ndarray     # (N+GT,) int64
+    # q8 mode: (P, 16) precomputed row multipliers ([head scale,
+    # 8 x 1/L1(block)]; ops/pairwise.precompute_q8_scales) — set iff
+    # feats are int8 device-layout rows
+    q8_scales: np.ndarray = None
 
 
 class SegmentDataset:
@@ -239,10 +244,14 @@ def pad_record(
       pair_mask   (P_max,) float32   1 for real pairs
       cls_logits  (n_bucket, num_objects)
       track_mask  (n_bucket,) float32
+      feat_scale  (P_max, 16) float32 — only for q8 records (int8 feats)
     """
     n = min(record.num_proposals, n_bucket)
     p_max = n_bucket * (n_bucket - 1)
     d = feature_dim
+    q8 = record.q8_scales is not None
+    if q8:
+        feats_dtype = np.int8
 
     keep = (record.pairs[:, 0] < n) & (record.pairs[:, 1] < n)
     feats_src = record.feats[keep]
@@ -265,7 +274,7 @@ def pad_record(
     track_mask = np.zeros((n_bucket,), dtype=np.float32)
     track_mask[:n] = 1.0
 
-    return {
+    out = {
         "feats": feats,
         "pairs": pairs,
         "labels": labels,
@@ -273,6 +282,12 @@ def pad_record(
         "cls_logits": cls_logits,
         "track_mask": track_mask,
     }
+    if q8:
+        # padded rows are all-zero features: any scale multiplies zeros
+        feat_scale = np.zeros((p_max, 16), dtype=np.float32)
+        feat_scale[:p] = record.q8_scales[keep][:p]
+        out["feat_scale"] = feat_scale
+    return out
 
 
 def stack_records(padded: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

@@ -39,6 +39,34 @@ def evaluate_detections(
     """records: COCO-format dicts (tspn_tpu.detection.coco_format);
     detections: {image_id: {boxes (D, 4), scores (D,), classes (D,),
     mask (D,)}}. Returns (mAP over classes with GT, per-class AP)."""
+    return _evaluate_at_threshold(records, detections, iou_threshold)
+
+
+def evaluate_detections_coco(
+    records: List[dict],
+    detections: Dict[int, dict],
+) -> Dict[str, float]:
+    """COCO-protocol summary metrics (the reference's detector eval
+    delegates to detectron2's COCOEvaluator, detectron/train.py:52-58):
+    AP = mean over IoU thresholds 0.50:0.95:0.05, plus AP50 / AP75.
+    Returns {"AP": ..., "AP50": ..., "AP75": ...}."""
+    thresholds = np.arange(0.50, 0.96, 0.05)
+    maps = {
+        round(float(t), 2): _evaluate_at_threshold(records, detections, float(t))[0]
+        for t in thresholds
+    }
+    return {
+        "AP": float(np.mean(list(maps.values()))),
+        "AP50": maps[0.5],
+        "AP75": maps[0.75],
+    }
+
+
+def _evaluate_at_threshold(
+    records: List[dict],
+    detections: Dict[int, dict],
+    iou_threshold: float,
+) -> Tuple[float, Dict[int, float]]:
     gt_by_class: Dict[int, Dict[int, np.ndarray]] = defaultdict(dict)
     for rec in records:
         by_cls = defaultdict(list)

@@ -198,6 +198,348 @@ def normalize_classify_fused(
     return _fused_for_layout(layout)(feats_dev, w_dev, b)
 
 
+# ------------------------------------------------------------ int8 features
+# The fused kernel is HBM-bound (see DESIGN.md §7): at the bf16 roofline
+# the remaining lever is narrower features. Two properties make int8
+# near-lossless here:
+#   * BoW blocks are L1-NORMALIZED in the kernel, so a per-(row, block)
+#     max-scaling q = round(127 * x / max|x|) cancels exactly:
+#     normalize(s*q) == normalize(q). No block scale is ever stored.
+#   * the head (classeme + relative) passes through a LINEAR map, so a
+#     per-row scale factors out: (s*q) @ W == s * (q @ W). One f32 scale
+#     per row is stored and applied to the head partial product.
+# Total row traffic: device_dim bytes + 4 (vs 2*device_dim for bf16).
+
+def to_device_layout_q8(
+    feats: np.ndarray, layout: FeatureLayout = None
+) -> tuple:
+    """(..., dim) storage floats -> (q (..., device_dim) int8,
+    head_scale (...,) float32). Dequantization: head columns multiply by
+    head_scale; BoW blocks are consumed by L1 normalization (scale-free).
+    """
+    if layout is None:
+        layout = FeatureLayout.from_dim(feats.shape[-1])
+    dev = to_device_layout(np.asarray(feats, np.float32), layout)
+    hp = layout.dev_head_pad
+    q = np.zeros(dev.shape, np.int8)
+
+    head = dev[..., :hp]
+    head_max = np.max(np.abs(head), axis=-1)
+    head_scale = np.where(head_max > 0, head_max / 127.0, 1.0).astype(np.float32)
+    q[..., :hp] = np.clip(
+        np.rint(head / head_scale[..., None]), -127, 127
+    ).astype(np.int8)
+
+    lead = dev.shape[:-1]
+    bow = dev[..., hp:].reshape(*lead, layout.num_bow_blocks, layout.dev_block)
+    bmax = np.max(np.abs(bow), axis=-1, keepdims=True)
+    bscale = np.where(bmax > 0, bmax / 127.0, 1.0)
+    q[..., hp:] = np.clip(np.rint(bow / bscale), -127, 127).reshape(
+        *lead, layout.num_bow_blocks * layout.dev_block
+    ).astype(np.int8)
+    return q, head_scale
+
+
+def normalize_classify_q8(
+    q: jnp.ndarray, head_scale: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """XLA reference for the q8 path (parity oracle / CPU fallback):
+    q (..., device_dim) int8, head_scale (...,) -> (..., R) f32 logits."""
+    hp = layout.dev_head_pad
+    qf = q.astype(jnp.float32)
+    out = (qf[..., :hp] @ w_dev[:hp].astype(jnp.float32)) * head_scale[..., None]
+    lead = q.shape[:-1]
+    bow = qf[..., hp:].reshape(*lead, layout.num_bow_blocks, layout.dev_block)
+    denom = jnp.sum(jnp.abs(bow), axis=-1, keepdims=True)
+    bow_n = (bow / jnp.where(denom > 0, denom, 1.0)).reshape(
+        *lead, layout.num_bow_blocks * layout.dev_block
+    )
+    out = out + bow_n @ w_dev[hp:].astype(jnp.float32)
+    return out + b
+
+
+def _kernel_q8(x_ref, s_ref, w_ref, b_ref, o_ref, *, layout: FeatureLayout):
+    """int8 features + per-row head scale -> fp32 logits in one pass.
+    int8 values <= 127 convert exactly to bf16 for the MXU; the head
+    partial product is rescaled by the stored per-row factor, BoW blocks
+    are rescaled by their own L1 sum (quantization scale cancels)."""
+    hp = layout.dev_head_pad
+    head = x_ref[:, :hp].astype(jnp.bfloat16)
+    acc = jnp.dot(
+        head, w_ref[:hp, :], preferred_element_type=jnp.float32
+    ) * s_ref[:, 0:1]
+    for k in range(layout.num_bow_blocks):
+        lo = hp + k * layout.dev_block
+        blk = x_ref[:, lo : lo + layout.dev_block].astype(jnp.bfloat16)
+        denom = jnp.sum(jnp.abs(blk.astype(jnp.float32)), axis=1, keepdims=True)
+        scale = jnp.where(denom > 0, 1.0 / denom, 1.0)
+        acc += jnp.dot(
+            blk, w_ref[lo : lo + layout.dev_block, :],
+            preferred_element_type=jnp.float32,
+        ) * scale
+    o_ref[:] = acc + b_ref[:]
+
+
+@partial(jax.jit, static_argnames=("row_tile", "layout"))
+def normalize_classify_q8_pallas(
+    q: jnp.ndarray,
+    head_scale: jnp.ndarray,
+    w_dev: jnp.ndarray,
+    b: jnp.ndarray,
+    row_tile: int = 128,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """Fused q8 kernel: one int8 HBM read of the features (half the bf16
+    kernel's traffic), normalize + classify in VMEM, f32 epilogue.
+
+    q (P, device_dim) int8 + head_scale (P,) [to_device_layout_q8],
+    w_dev (device_dim, R), b (R,) -> (P, R) float32 logits.
+    """
+    p, d = q.shape
+    assert d == layout.device_dim, (
+        f"expected device layout dim {layout.device_dim}, got {d}"
+    )
+    r = w_dev.shape[1]
+    rp = _round_up(r, 128)
+    pp = _round_up(max(p, row_tile), row_tile)
+
+    x = jnp.zeros((pp, d), jnp.int8).at[:p].set(q)
+    wp = jnp.zeros((d, rp), jnp.bfloat16).at[:, :r].set(
+        w_dev.astype(jnp.bfloat16)
+    )
+    # per-row head scale as a 128-lane column block (column 0 is read)
+    sp = jnp.ones((pp, 128), jnp.float32).at[:p, 0].set(
+        head_scale.astype(jnp.float32)
+    )
+    bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(b.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        partial(_kernel_q8, layout=layout),
+        out_shape=jax.ShapeDtypeStruct((pp, rp), jnp.float32),
+        grid=(pp // row_tile,),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (row_tile, rp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pp * d * rp,
+            bytes_accessed=pp * d + pp * 128 * 4 + d * rp * 2 + pp * rp * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, sp, wp, bp)
+    return out[:p, :r]
+
+
+# ---------------------------------------------------- int8 x int8 MXU path
+# The q8-features kernel above is MXU-bound, not HBM-bound (DESIGN.md §7
+# round-2 update): both bf16 and q8 features cap at the same pairs/s
+# because the (P, D) x (D, 256-padded) bf16 matmul sets the floor. The
+# TPU MXU runs int8 x int8 -> int32 at twice the bf16 rate, and the
+# weight matrix factors exactly through a per-COLUMN scale:
+#     W[:, j] = sW[j] * qW[:, j]  =>  y[:, j] = sW[j] * (x @ qW)[:, j]
+# so with int8 features AND int8 weights every MXU pass is integer and
+# the f32 scales (row scale for the head, 1/L1 for BoW blocks, column
+# scale for the weights) apply to the small (rows, 256) accumulator.
+
+def quantize_weights_percol(w_dev: np.ndarray) -> tuple:
+    """(D, R) f32 -> (qW (D, R) int8, sW (R,) f32) with per-column max
+    scaling; W == qW * sW up to 1/254 relative rounding."""
+    w = np.asarray(w_dev, np.float32)
+    cmax = np.max(np.abs(w), axis=0)
+    sw = np.where(cmax > 0, cmax / 127.0, 1.0).astype(np.float32)
+    qw = np.clip(np.rint(w / sw[None, :]), -127, 127).astype(np.int8)
+    return qw, sw
+
+
+def normalize_classify_q8i8(
+    q: jnp.ndarray, head_scale: jnp.ndarray,
+    qw: jnp.ndarray, sw: jnp.ndarray, b: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """XLA reference for the int8 x int8 path (parity oracle)."""
+    hp = layout.dev_head_pad
+    qf = q.astype(jnp.float32)
+    wf = qw.astype(jnp.float32)
+    acc = (qf[..., :hp] @ wf[:hp]) * head_scale[..., None]
+    lead = q.shape[:-1]
+    bow = qf[..., hp:].reshape(*lead, layout.num_bow_blocks, layout.dev_block)
+    denom = jnp.sum(jnp.abs(bow), axis=-1, keepdims=True)
+    bow_n = (bow / jnp.where(denom > 0, denom, 1.0)).reshape(
+        *lead, layout.num_bow_blocks * layout.dev_block
+    )
+    acc = acc + bow_n @ wf[hp:]
+    return acc * sw + b
+
+
+def precompute_q8_scales(
+    q: np.ndarray, head_scale: np.ndarray, layout: FeatureLayout = DEFAULT_LAYOUT
+) -> np.ndarray:
+    """(P, 16) f32 per-row multipliers for the scales-precomputed kernel:
+    col 0 = head scale, cols 1..num_bow_blocks = 1/L1(q_block) (1 for
+    empty blocks), rest zero-padded. The L1 sums are data constants, so
+    hoisting them out of the kernel removes every in-kernel reduction —
+    the VPU work that caps the int8 MXU path."""
+    p = q.shape[0]
+    hp = layout.dev_head_pad
+    out = np.zeros((p, 16), np.float32)
+    out[:, 0] = head_scale
+    bow = np.abs(q[:, hp:].astype(np.int32)).reshape(
+        p, layout.num_bow_blocks, layout.dev_block
+    )
+    denom = bow.sum(axis=-1).astype(np.float32)
+    out[:, 1 : 1 + layout.num_bow_blocks] = 1.0 / np.where(denom > 0, denom, 1.0)
+    return out
+
+
+def _kernel_q8s(x_ref, s_ref, w_ref, sw_ref, b_ref, o_ref, *, layout):
+    """Scales-precomputed int8 x int8 kernel: pure integer MXU passes,
+    one scalar-broadcast multiply per block, no in-kernel reductions."""
+    hp = layout.dev_head_pad
+
+    def idot(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    acc = idot(x_ref[:, :hp], w_ref[:hp, :]).astype(jnp.float32) * s_ref[:, 0:1]
+    for k in range(layout.num_bow_blocks):
+        lo = hp + k * layout.dev_block
+        acc += idot(
+            x_ref[:, lo : lo + layout.dev_block],
+            w_ref[lo : lo + layout.dev_block, :],
+        ).astype(jnp.float32) * s_ref[:, k + 1 : k + 2]
+    o_ref[:] = acc * sw_ref[:] + b_ref[:]
+
+
+@partial(jax.jit, static_argnames=("row_tile", "layout"))
+def normalize_classify_q8s_pallas(
+    q: jnp.ndarray,
+    scales: jnp.ndarray,   # (P, 16) from precompute_q8_scales
+    qw: jnp.ndarray,
+    sw: jnp.ndarray,
+    b: jnp.ndarray,
+    row_tile: int = 128,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """int8 x int8 kernel with HOST-precomputed row/block scales: the
+    fastest inference path (no in-kernel reductions at all)."""
+    p, d = q.shape
+    assert d == layout.device_dim
+    r = qw.shape[1]
+    rp = _round_up(r, 128)
+    pp = _round_up(max(p, row_tile), row_tile)
+
+    x = jnp.zeros((pp, d), jnp.int8).at[:p].set(q)
+    wp = jnp.zeros((d, rp), jnp.int8).at[:, :r].set(qw)
+    sp = jnp.zeros((pp, 128), jnp.float32).at[:p, :16].set(
+        scales.astype(jnp.float32)
+    )
+    swp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(sw.astype(jnp.float32))
+    bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(b.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        partial(_kernel_q8s, layout=layout),
+        out_shape=jax.ShapeDtypeStruct((pp, rp), jnp.float32),
+        grid=(pp // row_tile,),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (row_tile, rp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pp * d * rp,
+            bytes_accessed=pp * d + pp * 128 * 4 + d * rp + pp * rp * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, sp, wp, swp, bp)
+    return out[:p, :r]
+
+
+def _kernel_q8i8(x_ref, s_ref, w_ref, sw_ref, b_ref, o_ref, *, layout):
+    """All-integer MXU passes (int8 x int8 -> int32), f32 epilogue."""
+    hp = layout.dev_head_pad
+
+    def idot(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    acc = idot(x_ref[:, :hp], w_ref[:hp, :]).astype(jnp.float32) * s_ref[:, 0:1]
+    for k in range(layout.num_bow_blocks):
+        lo = hp + k * layout.dev_block
+        blk = x_ref[:, lo : lo + layout.dev_block]
+        denom = jnp.sum(jnp.abs(blk.astype(jnp.float32)), axis=1, keepdims=True)
+        scale = jnp.where(denom > 0, 1.0 / denom, 1.0)
+        acc += idot(blk, w_ref[lo : lo + layout.dev_block, :]).astype(
+            jnp.float32
+        ) * scale
+    o_ref[:] = acc * sw_ref[:] + b_ref[:]
+
+
+@partial(jax.jit, static_argnames=("row_tile", "layout"))
+def normalize_classify_q8i8_pallas(
+    q: jnp.ndarray,
+    head_scale: jnp.ndarray,
+    qw: jnp.ndarray,
+    sw: jnp.ndarray,
+    b: jnp.ndarray,
+    row_tile: int = 128,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """Quantized-everything kernel: int8 features (to_device_layout_q8) x
+    int8 weights (quantize_weights_percol) on the MXU's double-rate
+    integer path; returns (P, R) f32 logits."""
+    p, d = q.shape
+    assert d == layout.device_dim
+    r = qw.shape[1]
+    rp = _round_up(r, 128)
+    pp = _round_up(max(p, row_tile), row_tile)
+
+    x = jnp.zeros((pp, d), jnp.int8).at[:p].set(q)
+    wp = jnp.zeros((d, rp), jnp.int8).at[:, :r].set(qw)
+    sp = jnp.ones((pp, 128), jnp.float32).at[:p, 0].set(
+        head_scale.astype(jnp.float32)
+    )
+    swp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(sw.astype(jnp.float32))
+    bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(b.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        partial(_kernel_q8i8, layout=layout),
+        out_shape=jax.ShapeDtypeStruct((pp, rp), jnp.float32),
+        grid=(pp // row_tile,),
+        in_specs=[
+            pl.BlockSpec((row_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (row_tile, rp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pp * d * rp,
+            bytes_accessed=pp * d + pp * 128 * 4 + d * rp + pp * rp * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, sp, wp, swp, bp)
+    return out[:p, :r]
+
+
 # -------------------------------------------------------------- Pallas path
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, layout: FeatureLayout):
     # head: classeme + relative blocks pass through unnormalized

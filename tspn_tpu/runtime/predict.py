@@ -70,12 +70,64 @@ def _select_topk(
     )
 
 
+def _q8_classifier_weights(cfg, params):
+    """Per-column int8 classifier weights for the quantized kernel, from
+    a model trained EITHER way: fused params are already device-layout;
+    an unfused Dense kernel is permuted via weights_to_device_layout."""
+    from tspn_tpu.data.feature_store import FeatureLayout
+    from tspn_tpu.ops.pairwise import (
+        quantize_weights_percol,
+        weights_to_device_layout,
+    )
+
+    layout = FeatureLayout.for_objects(cfg.PREDICT.OBJECT_NUM)
+    cls = params["classifier"]
+    if cfg.MODEL.get("FUSED_CLASSIFIER", False):
+        w_dev, b = np.asarray(cls["kernel"]), np.asarray(cls["bias"])
+    else:
+        w_dev = weights_to_device_layout(
+            np.asarray(cls["rel_predictor"]["kernel"]), layout
+        )
+        b = np.asarray(cls["rel_predictor"]["bias"])
+    qw, sw = quantize_weights_percol(w_dev)
+    return jnp.asarray(qw), jnp.asarray(sw), jnp.asarray(b), layout
+
+
+def _make_q8_scorer(q8_weights):
+    """(B, P, D) int8 + (B, P, 16) precomputed scales -> (B, P, R)
+    logits through the scales-precomputed int8 x int8 kernel (Pallas on
+    TPU; exact XLA equivalent elsewhere)."""
+    qw, sw, b, layout = q8_weights
+
+    def score(feats, scales):
+        from tspn_tpu.ops.pairwise import (
+            normalize_classify_q8i8,
+            normalize_classify_q8s_pallas,
+        )
+
+        lead = feats.shape[:-1]
+        flat = feats.reshape(-1, feats.shape[-1])
+        s = scales.reshape(-1, scales.shape[-1])
+        if jax.default_backend() == "tpu":
+            out = normalize_classify_q8s_pallas(
+                flat, s, qw, sw, b, row_tile=256, layout=layout
+            )
+        else:
+            # q8i8's XLA path recomputes the block L1 sums from the int8
+            # rows — identical values to the precomputed ones
+            out = normalize_classify_q8i8(flat, s[:, 0], qw, sw, b, layout=layout)
+        return out.reshape(*lead, -1)
+
+    return score
+
+
 def _make_batched_infer(
     model,
     topk_per_pair: int,
     topk_per_seg: int,
     num_pair_proposals: int = 0,
     fuse_ppn_score: bool = False,
+    q8_weights=None,
 ):
     """One jitted program per bucket: forward + per-segment top-k for a
     whole SEGMENT BATCH — a single device dispatch + readback per batch
@@ -91,13 +143,23 @@ def _make_batched_infer(
     compute. Deviation: the reference ranks flattened N x N matrix cells
     (diagonal included, which can never map to a candidate pair); we
     rank the actual pair rows, so all K proposals are consumable.
+
+    q8_weights (from _q8_classifier_weights) switches relation scoring
+    to the quantized kernel over int8 batches ("feats" int8 +
+    "feat_scale"); the PPN head still runs on the f32 classeme logits.
     """
+    q8_score = _make_q8_scorer(q8_weights) if q8_weights is not None else None
 
     @jax.jit
     def infer(params, batch):
         if num_pair_proposals <= 0:
-            out = model.apply({"params": params}, batch)
-            rel_prob = jax.nn.sigmoid(out["rel_logits"])
+            if q8_score is not None:
+                rel_prob = jax.nn.sigmoid(
+                    q8_score(batch["feats"], batch["feat_scale"])
+                )
+            else:
+                out = model.apply({"params": params}, batch)
+                rel_prob = jax.nn.sigmoid(out["rel_logits"])
             return jax.vmap(
                 lambda rp, pm: _select_topk(rp, pm, topk_per_pair, topk_per_seg)
             )(rel_prob, batch["pair_mask"])
@@ -122,9 +184,15 @@ def _make_batched_infer(
         feats_k = jnp.take_along_axis(
             batch["feats"], top_rows[..., None], axis=1
         )  # (B, K, D) — only these K rows hit the classifier matmul
-        rel_logits = model.apply(
-            {"params": params}, feats_k, method=lambda m, f: m.classifier(f)
-        )
+        if q8_score is not None:
+            scales_k = jnp.take_along_axis(
+                batch["feat_scale"], top_rows[..., None], axis=1
+            )
+            rel_logits = q8_score(feats_k, scales_k)
+        else:
+            rel_logits = model.apply(
+                {"params": params}, feats_k, method=lambda m, f: m.classifier(f)
+            )
         rel_prob = jax.nn.sigmoid(rel_logits)
         if fuse_ppn_score:
             rel_prob = rel_prob * ppn_scores[..., None]
@@ -141,14 +209,24 @@ def _make_batched_infer(
 def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
     """Run relation prediction over every test segment.
 
+    Accepts a SegmentDataset OR a ConsolidatedSegmentDataset; a quantized
+    consolidated store routes scoring through the int8 kernel (see
+    tspn_tpu/data/preprocess.py).
+
     Returns {(vid, fstart, fend): (predictions, iou, trackid)}.
     """
+    quantized = bool(getattr(dataset, "quantized", False))
+    feature_dim = (
+        dataset.feature_width()
+        if hasattr(dataset, "feature_width")
+        else effective_feature_dim(cfg)
+    )
     loader = BucketedLoader(
         dataset,
         buckets=cfg.BUCKETS.NUM_TRACKLETS,
         batch_size=cfg.DATASET.TEST_BATCH_SIZE,
-        feature_dim=effective_feature_dim(cfg),
-        feats_dtype=effective_feats_dtype(cfg),
+        feature_dim=feature_dim,
+        feats_dtype=np.int8 if quantized else effective_feats_dtype(cfg),
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
         num_objects=cfg.PREDICT.OBJECT_NUM,
         max_iter=None,
@@ -168,6 +246,7 @@ def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
         topk_per_seg,
         num_pair_proposals=cfg.RELPN.PPN.NUM_PAIR_PROPOSALS if prune else 0,
         fuse_ppn_score=bool(cfg.RELPN.PPN.get("FUSE_SCORE", False)),
+        q8_weights=_q8_classifier_weights(cfg, params) if quantized else None,
     )
 
     short_term_relations: Dict[Tuple[str, int, int], tuple] = {}
@@ -222,7 +301,26 @@ def predict(cfg, basedata, logger=None):
     if logger is None:
         logger = setup_logger("detect", save_dir="logs")
     model = build_model(cfg, inference=True)
-    dataset = SegmentDataset(cfg, basedata, phase=basedata.infer_test_split())
+    phase = basedata.infer_test_split()
+    mode = str(cfg.PREDICT.get("CONSOLIDATED", "") or "")
+    if mode:
+        from tspn_tpu.data.preprocess import (
+            ConsolidatedSegmentDataset,
+            consolidated_path,
+        )
+
+        path = consolidated_path(phase)
+        assert os.path.exists(path), (
+            f"PREDICT.CONSOLIDATED={mode!r} but {path} does not exist; run "
+            "--preprocess with the same config first"
+        )
+        dataset = ConsolidatedSegmentDataset(cfg, path)
+        logger.info(
+            f"consolidated store: {path} "
+            f"({'int8' if dataset.quantized else 'f32'} features)"
+        )
+    else:
+        dataset = SegmentDataset(cfg, basedata, phase=phase)
     assert len(dataset) > 0, "no test segments with cached features found"
 
     # template init for checkpoint restore
