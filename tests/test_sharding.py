@@ -112,3 +112,49 @@ def test_loss_masking_ignores_padding(setup, rng):
     assert float(l_poisoned["loss_rel"]) == pytest.approx(
         float(l_base["loss_rel"]), rel=1e-5
     )
+
+
+def test_sharded_inference_matches_single_device(cfg, synthetic_dataset):
+    """SPMD inference (PREDICT.SHARD_INFERENCE): segment batches split
+    across the 8-device mesh must yield the same predictions as the
+    single-device path."""
+    import jax
+
+    from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+    from tspn_tpu.models.tspn import build_model
+    from tspn_tpu.runtime.predict import predict_segments
+
+    cfg = cfg.clone()
+    cfg.RELPN.USE_PPN = False
+    cfg.RELPN.USE_DPN = False
+    cfg.DATASET.TEST_BATCH_SIZE = 8  # divides the 8-device mesh
+
+    dataset = SegmentDataset(cfg, synthetic_dataset, phase="test")
+    model = build_model(cfg)
+    bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
+    p = bucket * (bucket - 1)
+    example = {
+        "feats": np.zeros((1, p, effective_feature_dim(cfg)), np.float32),
+        "pairs": np.zeros((1, p, 2), np.int32),
+        "labels": np.zeros((1, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
+        "pair_mask": np.zeros((1, p), np.float32),
+        "cls_logits": np.zeros((1, bucket, cfg.PREDICT.OBJECT_NUM), np.float32),
+        "track_mask": np.zeros((1, bucket), np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(5), example)["params"]
+
+    out_single = predict_segments(cfg, model, params, dataset)
+    cfg_sh = cfg.clone()
+    cfg_sh.PREDICT.SHARD_INFERENCE = True
+    out_sharded = predict_segments(cfg_sh, model, params, dataset)
+
+    assert set(out_single) == set(out_sharded)
+    for key in out_single:
+        preds_1, iou_1, tid_1 = out_single[key]
+        preds_8, iou_8, tid_8 = out_sharded[key]
+        np.testing.assert_array_equal(iou_1, iou_8)
+        assert len(preds_1) == len(preds_8)
+        for (s1, t1, p1), (s8, t8, p8) in zip(preds_1[:20], preds_8[:20]):
+            assert abs(float(s1) - float(s8)) < 1e-5
+            np.testing.assert_array_equal(t1, t8)
+            np.testing.assert_array_equal(p1, p8)

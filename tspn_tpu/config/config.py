@@ -171,6 +171,9 @@ def get_default_config() -> Config:
                 # intent) and --detect serves segments from it; "q8" stores
                 # int8 device-layout rows scored by the quantized kernel
                 "CONSOLIDATED": "",
+                # shard the segment batch across the device mesh at
+                # inference (SPMD; TEST_BATCH_SIZE must divide mesh size)
+                "SHARD_INFERENCE": False,
             },
             "RELPN": {
                 "OBJECT_DIM": 1024,

@@ -128,6 +128,8 @@ def _make_batched_infer(
     num_pair_proposals: int = 0,
     fuse_ppn_score: bool = False,
     q8_weights=None,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """One jitted program per bucket: forward + per-segment top-k for a
     whole SEGMENT BATCH — a single device dispatch + readback per batch
@@ -147,11 +149,15 @@ def _make_batched_infer(
     q8_weights (from _q8_classifier_weights) switches relation scoring
     to the quantized kernel over int8 batches ("feats" int8 +
     "feat_scale"); the PPN head still runs on the f32 classeme logits.
+
+    mesh: shard the SEGMENT BATCH across the mesh's data axis (SPMD
+    inference — SURVEY §7.1's "inference shards videos across chips"):
+    each device scores batch_size/n_devices segments; results gather
+    back sharded. Requires batch_size % mesh.size == 0.
     """
     q8_score = _make_q8_scorer(q8_weights) if q8_weights is not None else None
 
-    @jax.jit
-    def infer(params, batch):
+    def infer_impl(params, batch):
         if num_pair_proposals <= 0:
             if q8_score is not None:
                 rel_prob = jax.nn.sigmoid(
@@ -203,7 +209,20 @@ def _make_batched_infer(
         orig_pair_idx = jnp.take_along_axis(top_rows, pair_idx, axis=1)
         return scores, orig_pair_idx.astype(jnp.int32), pred_idx, valid
 
-    return infer
+    if mesh is None:
+        return jax.jit(infer_impl)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sharded = shard_map(
+        infer_impl,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis)),   # params replicated, batch dim split
+        out_specs=P(data_axis),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
 
 
 def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
@@ -240,6 +259,16 @@ def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
         and bool(cfg.RELPN.PPN.get("PRUNE_AT_INFERENCE", False))
     )
 
+    mesh = None
+    if bool(cfg.PREDICT.get("SHARD_INFERENCE", False)):
+        from tspn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.MESH.NUM_DEVICES, cfg.MESH.DATA_AXIS)
+        assert cfg.DATASET.TEST_BATCH_SIZE % mesh.size == 0, (
+            f"TEST_BATCH_SIZE {cfg.DATASET.TEST_BATCH_SIZE} must divide "
+            f"evenly over the {mesh.size}-device mesh"
+        )
+
     infer = _make_batched_infer(
         model,
         topk_per_pair,
@@ -247,6 +276,8 @@ def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
         num_pair_proposals=cfg.RELPN.PPN.NUM_PAIR_PROPOSALS if prune else 0,
         fuse_ppn_score=bool(cfg.RELPN.PPN.get("FUSE_SCORE", False)),
         q8_weights=_q8_classifier_weights(cfg, params) if quantized else None,
+        mesh=mesh,
+        data_axis=cfg.MESH.DATA_AXIS,
     )
 
     short_term_relations: Dict[Tuple[str, int, int], tuple] = {}
