@@ -87,6 +87,20 @@ def test_consolidated_q8_predict_equivalence(cfg, synthetic_dataset, tmp_path):
 
     out_std = predict_segments(cfg, model, params, std)
     out_q8 = predict_segments(cfg, model, params, cons)
+    # q8 + SPMD: sharding the int8 batches over the 8-device mesh must
+    # reproduce the single-device q8 output exactly
+    cfg_sh = cfg.clone()
+    cfg_sh.PREDICT.SHARD_INFERENCE = True
+    cfg_sh.DATASET.TEST_BATCH_SIZE = 8
+    out_q8_sh = predict_segments(cfg_sh, model, params, cons)
+    assert set(out_q8_sh) == set(out_q8)
+    for key in out_q8:
+        p1 = out_q8[key][0]
+        p8 = out_q8_sh[key][0]
+        assert len(p1) == len(p8)
+        for (s1, t1, i1), (s8, t8, i8) in zip(p1[:10], p8[:10]):
+            assert abs(float(s1) - float(s8)) < 1e-5
+            np.testing.assert_array_equal(t1, t8)
     assert set(out_std) == set(out_q8)
     agree = 0
     for key in out_std:

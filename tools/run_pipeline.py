@@ -47,6 +47,8 @@ def main():
     parser.add_argument("--image_size", type=int, default=640)
     parser.add_argument("--output_dir", default="./vidvrd-baseline-output")
     parser.add_argument("--max_videos", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 detector inference (f32 params)")
     args = parser.parse_args()
 
     import jax
@@ -80,7 +82,9 @@ def main():
         num_classes = len(VIDOR_OBJECTS)
 
     det_cfg = DetectionConfig(num_classes=num_classes, depth=args.depth)
-    model = FasterRCNN(cfg=det_cfg)
+    model = FasterRCNN(
+        cfg=det_cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+    )
     dummy = jnp.zeros((args.image_size, args.image_size, 3))
     params = model.init(
         jax.random.PRNGKey(0), dummy, jnp.zeros((4, 4)),
