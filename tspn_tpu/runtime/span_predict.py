@@ -9,8 +9,10 @@ no per-segment top-200 lists, no cross-segment merge loop.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +49,24 @@ def chain_trajectory(
     return out
 
 
+@lru_cache(maxsize=None)
+def _jitted_propose(model: SpanTSPN, top_k_spans: int):
+    """One COMPILED program per (model, top_k, sequence shape): without
+    this, propose_and_classify runs op-by-op — every primitive is its
+    own device dispatch, which dominates span inference on a tunneled
+    chip. time_width is a traced scalar so videos sharing a segment
+    count reuse the program."""
+
+    @jax.jit
+    def f(params, seq_feats, seq_mask, time_width):
+        return propose_and_classify(
+            model, params, seq_feats, seq_mask, time_width,
+            top_k_spans=top_k_spans,
+        )
+
+    return f
+
+
 def predict_video_relations(
     dataset,
     seg_dataset: SegmentDataset,
@@ -77,10 +97,10 @@ def predict_video_relations(
     anno = dataset.get_anno(vid)
     frame_count = anno["frame_count"]
 
-    outs = propose_and_classify(
-        model, params,
+    outs = _jitted_propose(model, top_k_spans)(
+        params,
         jnp.asarray(record.seq_feats), jnp.asarray(record.seq_mask),
-        time_width=float(frame_count), top_k_spans=top_k_spans,
+        jnp.float32(frame_count),
     )
     spans = np.asarray(outs["spans"])          # (P, K, 2)
     relness = np.asarray(outs["relness"])      # (P, K)
