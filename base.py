@@ -60,6 +60,10 @@ def preprocessing(cfg, args, data_dir):
             f"the {num_objects}-wide classeme layout ({layout.dim}); see "
             "configs/vidor.yaml for the VidOR widths"
         )
+    mode = str(cfg.PREDICT.get("CONSOLIDATED", "") or "")
+    assert mode in ("", "f32", "q8"), (
+        f"PREDICT.CONSOLIDATED={mode!r}; expected '', 'f32' or 'q8'"
+    )  # validate BEFORE the slow artifact pass
     splits = (
         ("training", "validation") if args.dataset == "vidor" else ("train", "test")
     )
@@ -73,14 +77,12 @@ def preprocessing(cfg, args, data_dir):
     )
     logger.info(f"wrote artifacts for {count} segments")
 
-    mode = str(cfg.PREDICT.get("CONSOLIDATED", "") or "")
     if mode:
         # the reference's actual --preprocess intent (base.py:36-39 there):
         # one consolidated hdf5 per split; "q8" additionally quantizes to
         # int8 device-layout rows for the fast inference path
         from tspn_tpu.data.preprocess import consolidate_split
 
-        assert mode in ("f32", "q8"), f"PREDICT.CONSOLIDATED={mode!r}"
         for split in splits:
             path = consolidate_split(
                 cfg, basedata, split, quantize=(mode == "q8")

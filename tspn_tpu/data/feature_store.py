@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Optional
 
 import h5py
@@ -102,13 +103,30 @@ class FeatureLayout:
 
     @classmethod
     def from_dim(cls, dim: int) -> "FeatureLayout":
-        """Infer the layout from a stored feature width: dim = 2C + 11000."""
+        """Infer the layout from a STORED feature width: dim = 2C + 11000.
+
+        Rejects widths that are device-layout widths (e.g. 11264/11392):
+        silently interpreting an already-relayouted array as storage
+        layout would re-permute it at wrong offsets.
+        """
         c2 = dim - (8 * 1000 + 3000)
-        if c2 < 2 or c2 % 2:
+        if c2 < 2 or c2 % 2 or dim in _device_dims():
             raise ValueError(
-                f"feature width {dim} does not match a 2C+11000 layout"
+                f"feature width {dim} does not match a 2C+11000 storage "
+                "layout" + (
+                    " (it IS a device-layout width — pass the layout "
+                    "explicitly)" if dim in _device_dims() else ""
+                )
             )
         return cls(classeme_dim=c2 // 2)
+
+
+@lru_cache(maxsize=1)
+def _device_dims() -> frozenset:
+    """Device-layout widths for every plausible classeme width."""
+    return frozenset(
+        FeatureLayout(classeme_dim=c).device_dim for c in range(1, 513)
+    )
 
 
 DEFAULT_LAYOUT = FeatureLayout()  # VidVRD: 35-wide classeme, 11070-d

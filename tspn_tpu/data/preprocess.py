@@ -74,65 +74,75 @@ def consolidate_split(
 
         layout = FeatureLayout.for_objects(cfg.PREDICT.OBJECT_NUM)
 
-    feats, scales, pairs, labels, seg_ids, signatures = [], [], [], [], [], []
+    # stream segment by segment into resizable datasets: a real split is
+    # tens of GB of feature rows — holding the whole split in Python
+    # lists for one np.concatenate would OOM the small host
+    def _append(f, name, arr, dtype):
+        arr = np.asarray(arr, dtype)
+        if name not in f:
+            f.create_dataset(
+                name, data=arr, maxshape=(None,) + arr.shape[1:], chunks=True
+            )
+        else:
+            ds = f[name]
+            n = ds.shape[0]
+            ds.resize(n + arr.shape[0], axis=0)
+            ds[n:] = arr
+        return arr.shape[0]
+
+    signatures: List[str] = []
     row_ranges: List[tuple] = []
-    ious, iou_offsets = [], [0]
-    trackids, tid_offsets = [], [0]
-    cls_logits, cls_offsets = [], [0]
+    iou_offsets, tid_offsets, cls_offsets = [0], [0], [0]
     num_proposals = []
     row = 0
-    for i in range(len(seg_dataset)):
-        rec = seg_dataset.load_segment(i)
-        vid, fstart, fend = rec.index
-        signatures.append(f"{vid}-{fstart:04d}-{fend:04d}")
-        if quantize:
-            q, s = to_device_layout_q8(rec.feats, layout)
-            feats.append(q)
-            scales.append(precompute_q8_scales(q, s, layout))
-        else:
-            feats.append(rec.feats)
-        pairs.append(rec.pairs)
-        labels.append(rec.labels)
-        seg_ids.append(np.full(rec.feats.shape[0], i, np.int64))
-        row_ranges.append((row, row + rec.feats.shape[0]))
-        row += rec.feats.shape[0]
-        ious.append(np.asarray(rec.iou, np.float32).reshape(-1))
-        iou_offsets.append(iou_offsets[-1] + ious[-1].size)
-        trackids.append(np.asarray(rec.trackid, np.int64))
-        tid_offsets.append(tid_offsets[-1] + trackids[-1].size)
-        cls_logits.append(
-            np.asarray(rec.cls_logits, np.float32).reshape(-1)
-        )
-        cls_offsets.append(cls_offsets[-1] + cls_logits[-1].size)
-        num_proposals.append(rec.num_proposals)
-
     with h5py.File(output_path, "w") as f:
+        for i in range(len(seg_dataset)):
+            rec = seg_dataset.load_segment(i)
+            vid, fstart, fend = rec.index
+            signatures.append(f"{vid}-{fstart:04d}-{fend:04d}")
+            if quantize:
+                q, s = to_device_layout_q8(rec.feats, layout)
+                _append(f, "feats", q, np.int8)
+                # (R, 16) precomputed row multipliers: [head scale, 8 x 1/L1]
+                _append(f, "q8_scales",
+                        precompute_q8_scales(q, s, layout), np.float32)
+            else:
+                _append(f, "feats", rec.feats, np.float32)
+            _append(f, "pairs", rec.pairs, np.int64)
+            _append(f, "pred_label", rec.labels, np.float32)
+            _append(f, "segment_id",
+                    np.full(rec.feats.shape[0], i, np.int64), np.int64)
+            row_ranges.append((row, row + rec.feats.shape[0]))
+            row += rec.feats.shape[0]
+            iou_offsets.append(
+                iou_offsets[-1]
+                + _append(f, "iou_flat",
+                          np.asarray(rec.iou, np.float32).reshape(-1), np.float32)
+            )
+            tid_offsets.append(
+                tid_offsets[-1] + _append(f, "trackid_flat", rec.trackid, np.int64)
+            )
+            cls_offsets.append(
+                cls_offsets[-1]
+                + _append(f, "cls_logits_flat",
+                          np.asarray(rec.cls_logits, np.float32).reshape(-1),
+                          np.float32)
+            )
+            num_proposals.append(rec.num_proposals)
+
+        f.attrs["quantized"] = bool(quantize)
         if quantize:
-            f.create_dataset("feats", data=np.concatenate(feats).astype(np.int8))
-            # (R, 16) precomputed row multipliers: [head scale, 8 x 1/L1]
-            f.create_dataset("q8_scales",
-                             data=np.concatenate(scales).astype(np.float32))
-            f.attrs["quantized"] = True
             f.attrs["device_dim"] = layout.device_dim
             f.attrs["classeme_dim"] = layout.classeme_dim
-        else:
-            f.create_dataset("feats", data=np.concatenate(feats).astype(np.float32))
-            f.attrs["quantized"] = False
         f.attrs["num_objects"] = seg_dataset.num_objects
         f.attrs["num_predicates"] = seg_dataset.num_predicates
-        f.create_dataset("pairs", data=np.concatenate(pairs).astype(np.int64))
-        f.create_dataset("pred_label", data=np.concatenate(labels).astype(np.float32))
-        f.create_dataset("segment_id", data=np.concatenate(seg_ids))
         f.create_dataset(
             "segments",
             data=np.asarray(signatures, dtype=h5py.string_dtype()),
         )
         f.create_dataset("row_ranges", data=np.asarray(row_ranges, np.int64))
-        f.create_dataset("iou_flat", data=np.concatenate(ious))
         f.create_dataset("iou_offsets", data=np.asarray(iou_offsets, np.int64))
-        f.create_dataset("trackid_flat", data=np.concatenate(trackids))
         f.create_dataset("trackid_offsets", data=np.asarray(tid_offsets, np.int64))
-        f.create_dataset("cls_logits_flat", data=np.concatenate(cls_logits))
         f.create_dataset("cls_logits_offsets",
                          data=np.asarray(cls_offsets, np.int64))
         f.create_dataset("num_proposals", data=np.asarray(num_proposals, np.int64))
@@ -237,6 +247,11 @@ class ConsolidatedSegmentDataset:
         assert self.num_predicates == cfg.PREDICT.PREDICATE_NUM, (
             f"store has {self.num_predicates} predicates, config "
             f"{cfg.PREDICT.PREDICATE_NUM}"
+        )
+        assert self.num_objects == cfg.PREDICT.OBJECT_NUM, (
+            f"store was consolidated with a {self.num_objects}-wide "
+            f"classeme layout but PREDICT.OBJECT_NUM is "
+            f"{cfg.PREDICT.OBJECT_NUM} — rebuild the store or fix the config"
         )
         self.index = [_parse_signature(s) for s in self.store.signatures]
 

@@ -11,6 +11,7 @@ PR-envelope integration shared with the video evaluators.
 from __future__ import annotations
 
 from collections import defaultdict
+from functools import lru_cache
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -34,7 +35,6 @@ def evaluate_detections(
     records: List[dict],
     detections: Dict[int, dict],
     iou_threshold: float = 0.5,
-    num_classes: int = 35,
 ) -> Tuple[float, Dict[int, float]]:
     """records: COCO-format dicts (tspn_tpu.detection.coco_format);
     detections: {image_id: {boxes (D, 4), scores (D,), classes (D,),
@@ -114,26 +114,58 @@ def _evaluate_at_threshold(
     return mean_ap, ap_per_class
 
 
+@lru_cache(maxsize=None)
+def _jitted_detect(model, tta: bool):
+    """One jitted detect per (model, tta), shared across eval rounds —
+    a fresh jit closure per call would re-trace every image shape on
+    every in-training eval invocation."""
+    import jax
+
+    from tspn_tpu.detection.rcnn import FasterRCNN
+
+    method = FasterRCNN.detect_tta if tta else FasterRCNN.detect
+    return jax.jit(lambda p, im: model.apply({"params": p}, im, method=method))
+
+
 def run_detector_eval(
-    model, params, records: List[dict], image_loader=None, tta: bool = False
+    model, params, records: List[dict], image_loader=None, tta: bool = False,
+    train_cfg=None,
 ):
     """Run FasterRCNN.detect over records and evaluate; image_loader maps
     a record -> (H, W, 3) float image (defaults to the train module's).
     tta=True merges detections with the horizontal-flip augmentation
-    (FasterRCNN.detect_tta — detectron2 GeneralizedRCNNWithTTA parity)."""
-    import jax
+    (FasterRCNN.detect_tta — detectron2 GeneralizedRCNNWithTTA parity).
+
+    train_cfg (a DetectorTrainConfig): apply the TRAINING input policy to
+    eval images (letterbox / shortest_edge resize) and map detected boxes
+    back to original coordinates — evaluating at raw scales a model never
+    trained on systematically depresses mAP (detectron2 resizes test
+    inputs with the same ResizeShortestEdge).
+    """
     import jax.numpy as jnp
 
-    from tspn_tpu.detection.rcnn import FasterRCNN
-    from tspn_tpu.detection.train import load_record_image
+    from tspn_tpu.detection.train import (
+        letterbox,
+        load_record_image,
+        resize_shortest_edge,
+    )
 
     loader = image_loader or load_record_image
-    method = FasterRCNN.detect_tta if tta else FasterRCNN.detect
-    detect = jax.jit(
-        lambda p, im: model.apply({"params": p}, im, method=method)
-    )
+    detect = _jitted_detect(model, tta)
+    no_boxes = np.zeros((0, 4), np.float32)
     detections = {}
     for rec in records:
-        out = detect(params, jnp.asarray(loader(rec)))
-        detections[rec["image_id"]] = {k: np.asarray(v) for k, v in out.items()}
-    return evaluate_detections(records, detections, num_classes=model.cfg.num_classes)
+        img = loader(rec)
+        scale = 1.0
+        if train_cfg is not None:
+            if train_cfg.input_policy == "letterbox":
+                img, _, scale = letterbox(img, no_boxes, train_cfg.image_size)
+            else:
+                img, _, scale = resize_shortest_edge(
+                    img, no_boxes, train_cfg.min_size, train_cfg.max_size
+                )
+        out = detect(params, jnp.asarray(img))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out["boxes"] = out["boxes"] / scale  # back to annotation coords
+        detections[rec["image_id"]] = out
+    return evaluate_detections(records, detections)

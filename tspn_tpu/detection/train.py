@@ -21,6 +21,7 @@ Input policies (config-selectable):
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, NamedTuple, Optional
 
@@ -29,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from tspn_tpu.data.feature_store import _round_up
 from tspn_tpu.detection.rcnn import DetectionConfig, FasterRCNN
 from tspn_tpu.parallel.mesh import make_mesh, shard_batch
 from tspn_tpu.runtime.logging_utils import MetricLogger, setup_logger
@@ -63,10 +65,6 @@ def shortest_edge_scale(h: int, w: int, min_size: int, max_size: int) -> float:
     if max(h, w) * scale > max_size:
         scale = max_size / max(h, w)
     return scale
-
-
-def _round_up(x: int, mult: int) -> int:
-    return ((x + mult - 1) // mult) * mult
 
 
 def input_bucket_shape(
@@ -277,7 +275,7 @@ def train_detector(
     weights /= weights.sum()
 
     do_eval = bool(eval_records) and train_cfg.eval_every > 0
-    best_map, best_params, eval_history = -1.0, None, []
+    best_map, best_iter, best_params, eval_history = -1.0, 0, None, []
 
     meters = MetricLogger()
     end = time.time()
@@ -296,23 +294,37 @@ def train_detector(
         if do_eval and (it + 1) % train_cfg.eval_every == 0:
             from tspn_tpu.detection.eval import run_detector_eval
 
-            mean_ap, _per_class = run_detector_eval(model, params, eval_records)
+            mean_ap, _per_class = run_detector_eval(
+                model, params, eval_records, train_cfg=train_cfg
+            )
             eval_history.append((it + 1, mean_ap))
             if train_cfg.keep_best and mean_ap > best_map:
                 best_map = mean_ap
+                best_iter = it + 1
                 best_params = jax.tree_util.tree_map(np.asarray, params)
             logger.info(f"[eval @ {it + 1}] mAP = {mean_ap:.4f} (best {best_map:.4f})")
             end = time.time()  # eval time is not step time
 
-    if do_eval and train_cfg.keep_best and best_params is not None:
-        logger.info(f"returning best-mAP params (mAP {best_map:.4f})")
-        params = best_params
-
     if checkpoint_path:
         from tspn_tpu.runtime.checkpoint import save_checkpoint
 
+        # the main checkpoint is always the FINAL (params, opt_state,
+        # step) triple so resume stays consistent; best-mAP params go to
+        # a params-only sibling stamped with their own iteration
         save_checkpoint(checkpoint_path, params, opt_state, step=train_cfg.max_iter)
         logger.info(f"detector checkpoint saved: {checkpoint_path}")
+        if do_eval and train_cfg.keep_best and best_params is not None:
+            root, ext = os.path.splitext(checkpoint_path)
+            best_path = f"{root}_best{ext}"
+            save_checkpoint(best_path, best_params, None, step=best_iter)
+            logger.info(
+                f"best-mAP checkpoint saved: {best_path} "
+                f"(mAP {best_map:.4f} @ iter {best_iter})"
+            )
+
+    if do_eval and train_cfg.keep_best and best_params is not None:
+        logger.info(f"returning best-mAP params (mAP {best_map:.4f})")
+        params = best_params
     return model, params
 
 

@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tspn_tpu.data.feature_store import DEFAULT_LAYOUT, FeatureLayout
+from tspn_tpu.data.feature_store import DEFAULT_LAYOUT, FeatureLayout, _round_up
 
 # VidVRD default geometry, kept as module constants for back-compat
 NUM_BLOCKS = DEFAULT_LAYOUT.num_bow_blocks
@@ -560,10 +560,6 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, *, layout: FeatureLayout):
             preferred_element_type=jnp.float32,
         )
     o_ref[:] = acc + b_ref[:]
-
-
-def _round_up(x: int, mult: int) -> int:
-    return ((x + mult - 1) // mult) * mult
 
 
 @partial(jax.jit, static_argnames=("row_tile", "layout"))

@@ -212,15 +212,14 @@ def _make_batched_infer(
     if mesh is None:
         return jax.jit(infer_impl)
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         infer_impl,
         mesh=mesh,
         in_specs=(P(), P(data_axis)),   # params replicated, batch dim split
         out_specs=P(data_axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
