@@ -2,7 +2,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-from tspn_tpu.ops.roi_align import roi_align
+from tspn_tpu.ops.roi_align import roi_align, roi_align_pallas, roi_align_xla
 
 
 def _oracle_roi_align(feat, boxes, output_size, sampling_ratio):
@@ -71,6 +71,33 @@ def test_roi_align_constant_feature_is_exact(rng):
     boxes = np.array([[2.0, 2.0, 10.0, 12.0]], np.float32)
     out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 7, 2))
     assert np.allclose(out, 2.5, atol=1e-5)
+
+
+def test_roi_align_pallas_matches_xla(rng):
+    """The matmul-formulation kernel (one pooled interpolation matrix
+    per RoI) must equal the gather formulation, including boundary boxes
+    that hang off the feature map."""
+    h, w, c = 20, 24, 8
+    feat = rng.rand(h, w, c).astype(np.float32)
+    boxes = np.array(
+        [
+            [2.0, 3.0, 10.0, 12.0],
+            [-3.0, -2.0, 5.0, 6.0],      # hangs off the top-left
+            [18.0, 14.0, 30.0, 26.0],    # hangs off the bottom-right
+            [0.0, 0.0, 24.0, 20.0],      # whole map
+            [5.0, 5.0, 5.0, 5.0],        # degenerate
+        ],
+        np.float32,
+    )
+    for out_size, s in [(7, 2), (4, 1), (14, 2)]:
+        ref = np.asarray(
+            roi_align_xla(jnp.asarray(feat), jnp.asarray(boxes), out_size, s)
+        )
+        ours = np.asarray(
+            roi_align_pallas(jnp.asarray(feat), jnp.asarray(boxes), out_size, s)
+        )
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_roi_align_linear_gradient(rng):
