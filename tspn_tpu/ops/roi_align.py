@@ -180,6 +180,10 @@ def roi_align_pallas(
             + r * pp * c * 4,
             transcendentals=0,
         ),
+        # under vmap (batched detect) the feature block double-buffers
+        # per batch element and the default 16 MB scoped-VMEM limit
+        # overflows; the kernel's true working set is modest
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(bp, f2)
     return pooled[:, : out * out].reshape(r, out, out, c).astype(features.dtype)
