@@ -176,7 +176,9 @@ def main():
             c = ref_one(seg, w32, b32, jnp.float32(tag * segments + s), c)
         return c
 
-    t_ref = _time_chained_unique(ref_step, iters=5, repeats=4, warmup=2)
+    # the baseline leg is dispatch-heavy (one 992-pair segment per
+    # dispatch); extra repeats damp tunnel-load variance in the ratio
+    t_ref = _time_chained_unique(ref_step, iters=5, repeats=7, warmup=2)
     ref_pairs_per_sec = p_total / np.median(t_ref)
 
     print(json.dumps({
@@ -187,7 +189,7 @@ def main():
         "value_iqr": [round(p_total / p75, 1), round(p_total / p25, 1)],
         "baseline_value": round(ref_pairs_per_sec, 1),
         "bf16_fused_value": round(bf16_pairs_per_sec, 1),
-        "iters": [7 * 50, 4 * 5],
+        "iters": [7 * 50, 7 * 5],
     }))
 
 

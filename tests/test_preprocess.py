@@ -118,6 +118,43 @@ def test_consolidated_q8_predict_equivalence(cfg, synthetic_dataset, tmp_path):
     assert agree >= 0.8 * len(out_std), (agree, len(out_std))
 
 
+def test_train_from_consolidated_store_matches_per_file(
+    cfg, synthetic_dataset, tmp_path, monkeypatch
+):
+    """Training from the f32 consolidated store must be bit-equivalent
+    to per-file training (identical records in identical order -> same
+    seeded batches -> same parameters)."""
+    import jax
+    import numpy as np
+
+    from tspn_tpu.data import preprocess as pp
+    from tspn_tpu.runtime.train import train
+
+    cfg = cfg.clone()
+    cfg.merge_from_dict({
+        "SOLVER": {"MAX_ITER": 5,
+                   "SCHEDULER": {"MILESTONES": [3, 4], "WARMUP_ITERS": 2}},
+        "DATASET": {"LOGIT_ONLY": True},
+        "RELPN": {"USE_PPN": False, "USE_DPN": False},
+        "ETC": {"SAVE_FREQ": 50, "DISPLAY_FREQ": 5},
+        "BUCKETS": {"SEGMENTS_PER_STEP": 2},
+    })
+    state_file = train(cfg, synthetic_dataset)
+
+    path = consolidate_split(
+        cfg, synthetic_dataset, "train", str(tmp_path / "train_f32.hdf5")
+    )
+    monkeypatch.setattr(pp, "consolidated_path", lambda phase: path)
+    cfg_c = cfg.clone()
+    cfg_c.PREDICT.CONSOLIDATED = "f32"
+    state_cons = train(cfg_c, synthetic_dataset)
+
+    flat_a = jax.tree_util.tree_leaves(state_file.params)
+    flat_b = jax.tree_util.tree_leaves(state_cons.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_profiling_helpers():
     import jax.numpy as jnp
 

@@ -58,7 +58,27 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
     batch_size -= batch_size % n_dev  # divisible so the data axis shards evenly
     logger.info(f"mesh: {n_dev} device(s), per-step segments: {batch_size}")
 
-    dataset = SegmentDataset(cfg, basedata, phase="train")
+    dataset = None
+    if str(cfg.PREDICT.get("CONSOLIDATED", "") or "") == "f32":
+        # one open handle + contiguous slabs beats per-segment h5 opens
+        # on the 1-core host for training too (labels are stored); the
+        # "q8" store is inference-only (int8 is not the training repr)
+        import os as _os
+
+        from tspn_tpu.data.preprocess import (
+            ConsolidatedSegmentDataset,
+            consolidated_path,
+        )
+
+        for split in ("train", "training"):
+            path = consolidated_path(split)
+            if _os.path.exists(path):
+                dataset = ConsolidatedSegmentDataset(cfg, path)
+                assert dataset.feature_width() == effective_feature_dim(cfg)
+                logger.info(f"training from consolidated store: {path}")
+                break
+    if dataset is None:
+        dataset = SegmentDataset(cfg, basedata, phase="train")
     assert len(dataset) > 0, "no train segments with cached features found"
     loader = BucketedLoader(
         dataset,
