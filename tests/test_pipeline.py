@@ -46,6 +46,28 @@ def fake_detections(synthetic_dataset, rng):
     }
 
 
+def test_tracks_from_learned_appearance(fake_detections):
+    """classeme_as_appearance=False: the tracker consumes learned re-ID
+    embeddings from detections['appearance'] (was a NameError)."""
+    import pytest
+
+    vid, dets = fake_detections
+    dets = dict(dets)
+    rng = np.random.RandomState(4)
+    t, d = dets["boxes"].shape[:2]
+    # distinct unit embeddings per underlying object (classes encode it)
+    base = rng.normal(size=(50, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dets["appearance"] = base[dets["classes"]] + rng.normal(
+        0, 0.02, (t, d, 16)
+    ).astype(np.float32)
+    outs = tracks_from_detections(dets, classeme_as_appearance=False)
+    assert outs["visible"][10:].sum(axis=1).min() >= 3
+    missing = {k: v for k, v in dets.items() if k != "appearance"}
+    with pytest.raises(AssertionError, match="appearance"):
+        tracks_from_detections(missing, classeme_as_appearance=False)
+
+
 def test_tracks_from_detections_stable(fake_detections):
     vid, dets = fake_detections
     outs = tracks_from_detections(dets)

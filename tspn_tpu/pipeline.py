@@ -61,7 +61,10 @@ def tracks_from_detections(
     """Detections (T, Dmax, ...) -> tracker outputs (T, K, ...).
 
     Appearance features default to the per-class score vector (the
-    classeme), the SURVEY-suggested substitute for the TF re-ID net.
+    classeme), the SURVEY-suggested substitute for the TF re-ID net;
+    classeme_as_appearance=False uses the LEARNED embeddings instead —
+    detections must then carry an "appearance" array (T, D, F), e.g.
+    from models/reid.AppearanceEncoder over box patches.
     """
     boxes = detections["boxes"]  # (T, D, 4) xyxy
     t, d = boxes.shape[:2]
@@ -77,6 +80,12 @@ def tracks_from_detections(
             feats = np.eye(max(num_classes, 2), dtype=np.float32)[
                 detections["classes"]
             ] * detections["scores"][..., None]
+    else:
+        feats = detections.get("appearance")
+        assert feats is not None, (
+            "classeme_as_appearance=False requires detections['appearance'] "
+            "(T, D, F) learned re-ID embeddings (models/reid)"
+        )
     cfg = tracker_cfg or TrackerConfig(max_tracks=64)
     outs = track_video(
         cfg,
