@@ -136,7 +136,8 @@ def main():
             feats_q8, scales, qw_dev, sw_dev, b_dev, jnp.float32(tag), carry
         )
 
-    t_opt = _time_chained_unique(q8_fn, iters=50, repeats=7)
+    OPT_ITERS, OPT_REPEATS = 50, 7
+    t_opt = _time_chained_unique(q8_fn, iters=OPT_ITERS, repeats=OPT_REPEATS)
     pairs_per_sec = p_total / np.median(t_opt)
     p25, p75 = np.percentile(t_opt, [25, 75])
 
@@ -178,7 +179,8 @@ def main():
 
     # the baseline leg is dispatch-heavy (one 992-pair segment per
     # dispatch); extra repeats damp tunnel-load variance in the ratio
-    t_ref = _time_chained_unique(ref_step, iters=5, repeats=7, warmup=2)
+    REF_ITERS, REF_REPEATS = 5, 7
+    t_ref = _time_chained_unique(ref_step, iters=REF_ITERS, repeats=REF_REPEATS, warmup=2)
     ref_pairs_per_sec = p_total / np.median(t_ref)
 
     print(json.dumps({
@@ -189,7 +191,7 @@ def main():
         "value_iqr": [round(p_total / p75, 1), round(p_total / p25, 1)],
         "baseline_value": round(ref_pairs_per_sec, 1),
         "bf16_fused_value": round(bf16_pairs_per_sec, 1),
-        "iters": [7 * 50, 7 * 5],
+        "iters": [OPT_REPEATS * OPT_ITERS, REF_REPEATS * REF_ITERS],
     }))
 
 

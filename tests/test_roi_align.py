@@ -6,33 +6,35 @@ from tspn_tpu.ops.roi_align import roi_align, roi_align_pallas, roi_align_xla
 
 
 def _oracle_roi_align(feat, boxes, output_size, sampling_ratio):
-    """Direct per-sample bilinear oracle (aligned=True convention)."""
+    """Faithful NumPy port of torchvision's bilinear_interpolate
+    (aligned=True): zero outside [-1, size]; coords in [-1, 0] clamp to
+    index 0 with FULL weight; coords >= size-1 collapse to the last
+    index with zero frac."""
     h, w, c = feat.shape
     s = sampling_ratio
     out = np.zeros((len(boxes), output_size, output_size, c), np.float64)
 
+    def axis(coord, size):
+        if coord < -1.0 or coord > size:
+            return None
+        coord = max(coord, 0.0)
+        low = int(np.floor(coord))
+        if low >= size - 1:
+            return size - 1, size - 1, 0.0
+        return low, low + 1, coord - low
+
     def sample(y, x):
-        if y <= -1.0 or y >= h or x <= -1.0 or x >= w:
+        ay = axis(y, h)
+        ax = axis(x, w)
+        if ay is None or ax is None:
             return np.zeros(c)
-        y0, x0 = int(np.floor(y)), int(np.floor(x))
-        fy, fx = y - y0, x - x0
-
-        def at(i, j, ok):
-            if not ok:
-                return np.zeros(c)
-            return feat[min(max(i, 0), h - 1), min(max(j, 0), w - 1)]
-
-        # zero-weight out-of-range taps like torchvision: clamp indices,
-        # weights from frac
-        v00 = at(y0, x0, True)
-        v01 = at(y0, x0 + 1, True)
-        v10 = at(y0 + 1, x0, True)
-        v11 = at(y0 + 1, x0 + 1, True)
+        y0, y1, fy = ay
+        x0, x1, fx = ax
         return (
-            v00 * (1 - fy) * (1 - fx)
-            + v01 * (1 - fy) * fx
-            + v10 * fy * (1 - fx)
-            + v11 * fy * fx
+            feat[y0, x0] * (1 - fy) * (1 - fx)
+            + feat[y0, x1] * (1 - fy) * fx
+            + feat[y1, x0] * fy * (1 - fx)
+            + feat[y1, x1] * fy * fx
         )
 
     for r, (bx0, by0, bx1, by1) in enumerate(boxes):
@@ -54,14 +56,27 @@ def _oracle_roi_align(feat, boxes, output_size, sampling_ratio):
 def test_roi_align_matches_oracle(rng):
     h, w, c = 20, 24, 2
     feat = rng.rand(h, w, c).astype(np.float32)
-    # interior boxes (away from borders where clamp conventions differ)
     xy = rng.rand(4, 2) * np.array([w - 12, h - 12]) + 2
     wh = rng.rand(4, 2) * 6 + 3
     boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    # border/off-map boxes exercise torchvision's clamp conventions
+    boxes = np.concatenate([
+        boxes,
+        np.array([
+            [0.0, 0.0, 6.0, 6.0],          # touches the top-left corner
+            [-4.0, -3.0, 5.0, 6.0],        # hangs off the top-left
+            [w - 6.0, h - 6.0, w + 4.0, h + 4.0],  # hangs off bottom-right
+        ], np.float32),
+    ])
     for out_size, s in [(7, 2), (4, 1)]:
-        ours = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), out_size, s))
-        ref = _oracle_roi_align(feat, boxes, out_size, s)
-        assert np.allclose(ours, ref, atol=1e-4), np.abs(ours - ref).max()
+        for impl in (roi_align_xla, roi_align_pallas):
+            ours = np.asarray(
+                impl(jnp.asarray(feat), jnp.asarray(boxes), out_size, s)
+            )
+            ref = _oracle_roi_align(feat, boxes, out_size, s)
+            assert np.allclose(ours, ref, atol=1e-4), (
+                impl.__name__, np.abs(ours - ref).max()
+            )
 
 
 def test_roi_align_constant_feature_is_exact(rng):

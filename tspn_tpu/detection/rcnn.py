@@ -85,10 +85,21 @@ class FasterRCNN(nn.Module):
     def _features(self, image: jnp.ndarray) -> jnp.ndarray:
         return self.backbone(image[None])[0]  # (h, w, 1024)
 
-    def _roi_forward(self, feats: jnp.ndarray, boxes: jnp.ndarray):
-        """boxes (R, 4) image coords -> (cls_logits (R, C+1), deltas (R, C, 4))."""
+    def _roi_forward(
+        self, feats: jnp.ndarray, boxes: jnp.ndarray, inference: bool = False
+    ):
+        """boxes (R, 4) image coords -> (cls_logits (R, C+1), deltas (R, C, 4)).
+
+        inference=True routes RoIAlign through the Pallas matmul kernel
+        on TPU; training keeps the differentiable XLA formulation
+        (pallas_call has no autodiff rule — gradients w.r.t. the
+        backbone features must flow through RoIAlign).
+        """
+        from tspn_tpu.ops.roi_align import roi_align_xla
+
         c = self.cfg
-        pooled = roi_align(
+        align = roi_align if inference else roi_align_xla
+        pooled = align(
             feats, boxes / c.stride, output_size=c.roi_pool_size, sampling_ratio=2
         )
         embeddings = self.res5(pooled)  # (R, 2048)
@@ -185,7 +196,7 @@ class FasterRCNN(nn.Module):
             logits, deltas, anchors, (h, w),
             c.pre_nms_topk_test, c.post_nms_topk_test, c.rpn_nms_threshold,
         )
-        cls_logits, box_deltas = self._roi_forward(feats, props.boxes)
+        cls_logits, box_deltas = self._roi_forward(feats, props.boxes, inference=True)
         probs = jax.nn.softmax(cls_logits, axis=-1)[:, : c.num_classes]  # (R, C)
         boxes_per_class = decode_boxes(
             box_deltas, props.boxes[:, None, :].repeat(c.num_classes, 1)
@@ -250,5 +261,5 @@ class FasterRCNN(nn.Module):
         """Class logits for externally supplied boxes (the classeme the
         relation stage consumes); (R, num_classes+1)."""
         feats = self._features(image)
-        cls_logits, _ = self._roi_forward(feats, boxes)
+        cls_logits, _ = self._roi_forward(feats, boxes, inference=True)
         return cls_logits

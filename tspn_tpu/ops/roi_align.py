@@ -3,7 +3,10 @@
 Replaces detectron2's C++/CUDA ROIAlign (used implicitly by the
 reference's Faster R-CNN C4 head). Semantics match torchvision /
 detectron2 `roi_align` with `aligned=True` (half-pixel offset) and
-static sampling_ratio.
+static sampling_ratio, INCLUDING the border conventions of
+torchvision's bilinear_interpolate: samples strictly outside
+[-1, size] contribute zero, samples in [-1, 0] clamp to index 0 with
+full weight, and samples past size-1 collapse to the last index.
 
 Two formulations:
 
@@ -63,12 +66,17 @@ def roi_align_xla(
     sy = y0[:, None] + grid[None, :] * (bh[:, None] / output_size)
 
     def bilinear_1d(coord, size):
-        c0 = jnp.floor(coord)
-        frac = coord - c0
-        i0 = jnp.clip(c0.astype(jnp.int32), 0, size - 1)
-        i1 = jnp.clip(i0 + 1, 0, size - 1)
-        # zero weight outside the valid range (torchvision zero-pads)
-        inside = (coord > -1.0) & (coord < size)
+        # torchvision bilinear_interpolate semantics exactly: zero weight
+        # strictly outside [-1, size]; coords in [-1, 0] clamp to 0 with
+        # FULL weight on index 0 (not a split), and coords >= size-1
+        # collapse to index size-1 with frac 0
+        inside = (coord >= -1.0) & (coord <= size)
+        c = jnp.maximum(coord, 0.0)
+        low = jnp.floor(c).astype(jnp.int32)
+        at_top = low >= size - 1
+        i0 = jnp.minimum(low, size - 1)
+        i1 = jnp.minimum(low + 1, size - 1)
+        frac = jnp.where(at_top, 0.0, c - low)
         w0 = jnp.where(inside, 1.0 - frac, 0.0)
         w1 = jnp.where(inside, frac, 0.0)
         return i0, i1, w0, w1
@@ -104,12 +112,15 @@ def _pooled_axis_weights(lo, extent, size, out, s, coords):
     factor of the pooled G matrix).
     """
     def one_sample(bin_of, a):
+        # torchvision bilinear_interpolate semantics (see bilinear_1d)
         pos = lo + (bin_of * s + a + 0.5) / s * (extent / out)
-        c0 = jnp.floor(pos)
-        frac = pos - c0
-        i0 = jnp.clip(c0.astype(jnp.int32), 0, size - 1)
-        i1 = jnp.clip(i0 + 1, 0, size - 1)
-        inside = (pos > -1.0) & (pos < size)
+        inside = (pos >= -1.0) & (pos <= size)
+        c = jnp.maximum(pos, 0.0)
+        low = jnp.floor(c).astype(jnp.int32)
+        at_top = low >= size - 1
+        i0 = jnp.minimum(low, size - 1)
+        i1 = jnp.minimum(low + 1, size - 1)
+        frac = jnp.where(at_top, 0.0, c - low)
         w = jnp.where(inside & (coords == i0), 1.0 - frac, 0.0)
         return w + jnp.where(inside & (coords == i1), frac, 0.0)
 

@@ -63,8 +63,6 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
         # one open handle + contiguous slabs beats per-segment h5 opens
         # on the 1-core host for training too (labels are stored); the
         # "q8" store is inference-only (int8 is not the training repr)
-        import os as _os
-
         from tspn_tpu.data.preprocess import (
             ConsolidatedSegmentDataset,
             consolidated_path,
@@ -72,8 +70,13 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
 
         for split in ("train", "training"):
             path = consolidated_path(split)
-            if _os.path.exists(path):
+            if os.path.exists(path):
                 dataset = ConsolidatedSegmentDataset(cfg, path)
+                assert not dataset.quantized, (
+                    f"{path} is a QUANTIZED (q8) store — training needs the "
+                    "f32 representation; re-run --preprocess with "
+                    "PREDICT.CONSOLIDATED='f32'"
+                )
                 assert dataset.feature_width() == effective_feature_dim(cfg)
                 logger.info(f"training from consolidated store: {path}")
                 break
