@@ -112,10 +112,11 @@ def training(cfg, args, data_dir):
     train(cfg, basedata, resume=args.resume)
     if cfg.RELPN.USE_DPN:
         # phase 2 of the full TSPN: the video-level span model ("when to
-        # look") trains on pair sequences after the segment model
+        # look") trains on pair sequences after the segment model, its
+        # video batch sharded over the same device mesh
         from tspn_tpu.runtime.span_train import train_span_model
 
-        train_span_model(cfg, basedata)
+        train_span_model(cfg, basedata, use_mesh=True)
 
 
 def detect(cfg, args, data_dir):

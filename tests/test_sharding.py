@@ -158,3 +158,29 @@ def test_sharded_inference_matches_single_device(cfg, synthetic_dataset):
             assert abs(float(s1) - float(s8)) < 1e-5
             np.testing.assert_array_equal(t1, t8)
             np.testing.assert_array_equal(p1, p8)
+
+
+def test_sharded_span_training_matches_single_device(cfg, synthetic_dataset):
+    """Span training with the video batch sharded over the 8-device mesh
+    (use_mesh=True; repeat-padded videos carry zero loss weight) matches
+    unsharded training parameter for parameter."""
+    import jax
+
+    from tspn_tpu.runtime.span_train import train_span_model
+
+    cfg = cfg.clone()
+    cfg.merge_from_dict({
+        "RELPN": {"USE_PPN": False, "USE_DPN": True},
+        "SOLVER": {"MAX_ITER": 4},
+        "ETC": {"DISPLAY_FREQ": 10, "SAVE_FREQ": 100},
+    })
+    _, p_single = train_span_model(cfg, synthetic_dataset, max_iter=4, seed=3)
+    _, p_sharded = train_span_model(
+        cfg, synthetic_dataset, max_iter=4, seed=3, use_mesh=True
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_single), jax.tree_util.tree_leaves(p_sharded)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )

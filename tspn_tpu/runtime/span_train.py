@@ -65,13 +65,19 @@ def train_span_model(
     seed: int = 0,
     videos_per_step: int = 4,
     joint_kwargs: Optional[dict] = None,
+    use_mesh: bool = False,
 ):
     """Train SpanTSPN over the train split's video pair records.
 
     Returns (model, params). Videos are grouped by segment count
     (one compiled program per S, like the segment loader's shape
     buckets) and each step consumes up to `videos_per_step` same-S
-    videos stacked into a leading batch dimension."""
+    videos stacked into a leading batch dimension.
+
+    use_mesh=True shards the VIDEO batch over the device mesh's data
+    axis (params replicated — the same DP mapping as the segment
+    trainer); batches pad by repetition to a mesh multiple and padded
+    videos carry zero loss weight, so the objective is unchanged."""
     if logger is None:
         logger = setup_logger("span_train", save_dir="logs")
     from tspn_tpu.data.vrdataset import effective_feature_dim
@@ -114,12 +120,16 @@ def train_span_model(
         else span_tspn_loss
     )
 
-    @jax.jit
-    def step(params, opt_state, batch):
+    def step_impl(params, opt_state, batch, video_w):
         def loss_fn(p):
-            # vmap the per-video loss over the stacked video batch
+            # vmap the per-video loss over the stacked video batch;
+            # video_w zeroes mesh-padding repeats (weighted mean equals
+            # the unpadded plain mean)
             per_video = jax.vmap(lambda b: loss_impl(model, p, b))(batch)
-            losses = {k: jnp.mean(v) for k, v in per_video.items()}
+            denom = jnp.clip(jnp.sum(video_w), 1.0)
+            losses = {
+                k: jnp.sum(v * video_w) / denom for k, v in per_video.items()
+            }
             return jnp.asarray(sum(losses.values())), losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -127,6 +137,37 @@ def train_span_model(
         params = optax.apply_updates(params, updates)
         losses["loss"] = total
         return params, opt_state, losses
+
+    mesh = None
+    if use_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tspn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.MESH.NUM_DEVICES, cfg.MESH.DATA_AXIS)
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(cfg.MESH.DATA_AXIS))
+        step = jax.jit(
+            step_impl,
+            in_shardings=(rep, rep, shard, shard),
+            out_shardings=(rep, rep, rep),
+        )
+        logger.info(f"span training sharded over {mesh.devices.size} device(s)")
+    else:
+        step = jax.jit(step_impl)
+
+    def pad_for_mesh(batch, b_real):
+        """Repeat-pad the video dim to a mesh multiple (wrapped indices —
+        the pad may exceed the real batch); returns (batch, video_w)."""
+        if mesh is None:
+            return batch, jnp.ones(b_real, jnp.float32)
+        n = mesh.devices.size
+        target = b_real + (-b_real % n)
+        if target != b_real:
+            idx = jnp.arange(target) % b_real
+            batch = {k: v[idx] for k, v in batch.items()}
+        w = (jnp.arange(target) < b_real).astype(jnp.float32)
+        return batch, w
 
     # group by segment count: one compiled program per (S, B) shape
     groups: dict = {}
@@ -152,19 +193,26 @@ def train_span_model(
         b = min(videos_per_step, len(group))
         if len(group) <= videos_per_step:
             if key not in static_batch_cache:
-                static_batch_cache[key] = {
-                    k: jnp.asarray(v)
-                    for k, v in stack_video_batches(group).items()
-                }
-            batch = static_batch_cache[key]
+                static_batch_cache[key] = pad_for_mesh(
+                    {
+                        k: jnp.asarray(v)
+                        for k, v in stack_video_batches(group).items()
+                    },
+                    len(group),
+                )
+            batch, video_w = static_batch_cache[key]
         else:
             picks = [
                 group[i] for i in rng_np.choice(len(group), size=b, replace=False)
             ]
-            batch = {
-                k: jnp.asarray(v) for k, v in stack_video_batches(picks).items()
-            }
-        params, opt_state, losses = step(params, opt_state, batch)
+            batch, video_w = pad_for_mesh(
+                {
+                    k: jnp.asarray(v)
+                    for k, v in stack_video_batches(picks).items()
+                },
+                b,
+            )
+        params, opt_state, losses = step(params, opt_state, batch, video_w)
         meters.update(time=time.time() - end,
                       **{k: float(v) for k, v in losses.items()})
         end = time.time()
