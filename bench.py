@@ -14,8 +14,9 @@ int8 HBM read of the features, every MXU pass integer, all scales (per-
 row head / per-block 1/L1 / per-column weight) applied to the small f32
 accumulator. This is the kernel the consolidated q8 inference path
 (PREDICT.CONSOLIDATED="q8") actually runs; quantization is near-lossless
-(block scales cancel in L1 normalization — tests/test_q8_kernel.py; the
-synthetic e2e metrics are bit-identical to f32). The bf16 fused kernel's
+(block scales cancel in L1 normalization — tests/test_q8_kernel.py; on
+the synthetic e2e fixture top predictions agree with f32 within int8
+rounding, see test_consolidated_q8_predict_equivalence). The bf16 fused kernel's
 throughput is reported alongside as "bf16_fused_value".
 
 vs_baseline: the same math as the reference executes it — unfused

@@ -175,3 +175,55 @@ def test_q8_vidor_layout(rng):
         q, s, weights_to_device_layout(w), b, layout=lo
     ))
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_q8t_transposed_matches_q8s(inputs):
+    """The transposed kernel (predicates on the MXU sublane axis, pairs
+    on lanes) must reproduce the q8s kernel: same integer dots, same f32
+    scale-accumulate order."""
+    from tspn_tpu.ops.pairwise import (
+        normalize_classify_q8s_pallas,
+        normalize_classify_q8t_pallas,
+        precompute_q8_scales,
+        quantize_weights_percol,
+    )
+
+    lo, feats, w, b = inputs
+    q, s = to_device_layout_q8(feats)
+    scales = precompute_q8_scales(q, s)
+    qw, sw = quantize_weights_percol(weights_to_device_layout(w))
+    ref = np.asarray(normalize_classify_q8s_pallas(q, scales, qw, sw, b))
+    out = np.asarray(normalize_classify_q8t_pallas(
+        np.ascontiguousarray(q.T), np.ascontiguousarray(scales.T),
+        np.ascontiguousarray(qw.T), sw, b,
+    ))
+    assert out.shape == (w.shape[1], feats.shape[0])
+    np.testing.assert_allclose(out.T, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_q8t_vidor_layout(rng):
+    """VidOR geometry (C=80, 3328-wide head) through the transposed
+    kernel: the head is one non-1024 slice — exercises the static-slice
+    path at a different alignment."""
+    from tspn_tpu.ops.pairwise import (
+        normalize_classify_q8i8,
+        normalize_classify_q8t_pallas,
+        precompute_q8_scales,
+        quantize_weights_percol,
+    )
+
+    lo = FeatureLayout.for_objects(80)
+    p, r = 5, 6
+    feats = rng.rand(p, lo.dim).astype(np.float32)
+    q, s = to_device_layout_q8(feats, lo)
+    scales = precompute_q8_scales(q, s, lo)
+    qw, sw = quantize_weights_percol(
+        weights_to_device_layout((rng.randn(lo.dim, r) * 0.01).astype(np.float32), lo)
+    )
+    b = rng.randn(r).astype(np.float32)
+    ref = np.asarray(normalize_classify_q8i8(q, s, qw, sw, b, layout=lo))
+    out = np.asarray(normalize_classify_q8t_pallas(
+        np.ascontiguousarray(q.T), np.ascontiguousarray(scales.T),
+        np.ascontiguousarray(qw.T), sw, b, layout=lo,
+    ))
+    np.testing.assert_allclose(out.T, ref, rtol=1e-5, atol=1e-5)

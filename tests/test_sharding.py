@@ -184,3 +184,57 @@ def test_sharded_span_training_matches_single_device(cfg, synthetic_dataset):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
         )
+
+
+def test_sharded_detector_step_matches_single_device(rng):
+    """Detector train step over the 8-device mesh (the reference's
+    detector stage has its own multi-GPU launch, detectron/train.py:166-173)
+    must produce the same parameter update as one device."""
+    import optax
+
+    from tspn_tpu.detection.rcnn import DetectionConfig, FasterRCNN
+    from tspn_tpu.detection.train import make_detector_train_step
+    from tspn_tpu.parallel.mesh import make_mesh, shard_batch
+
+    tiny = DetectionConfig(
+        num_classes=3, depth=26, anchor_sizes=(32, 64),
+        anchor_ratios=(1.0,), pre_nms_topk_train=64,
+        post_nms_topk_train=16, pre_nms_topk_test=64,
+        post_nms_topk_test=16, roi_batch_size=8, max_detections=8,
+    )
+    model = FasterRCNN(cfg=tiny)
+
+    b, size, g = 8, 64, 4
+    imgs = rng.rand(b, size, size, 3).astype(np.float32)
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_boxes[:, 0] = [8, 8, 40, 40]
+    gt_classes = np.zeros((b, g), np.int32)
+    gt_mask = np.zeros((b, g), np.float32)
+    gt_mask[:, 0] = 1.0
+    batch = {
+        "image": imgs, "gt_boxes": gt_boxes,
+        "gt_classes": gt_classes, "gt_mask": gt_mask,
+    }
+
+    def fresh():
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(imgs[0]),
+            jnp.asarray(gt_boxes[0]), jnp.asarray(gt_classes[0]),
+            jnp.asarray(gt_mask[0]),
+        )["params"]
+        opt = optax.sgd(1e-3)
+        return params, opt, opt.init(params)
+
+    mesh = make_mesh()
+    params8, opt8, ost8 = fresh()
+    step8 = make_detector_train_step(model, opt8, mesh=mesh)
+    p8, _, losses8 = step8(params8, ost8, shard_batch(batch, mesh))
+
+    params1, opt1, ost1 = fresh()
+    step1 = make_detector_train_step(model, opt1, mesh=None)
+    p1, _, losses1 = step1(params1, ost1, batch)
+
+    assert np.isfinite(float(losses8["loss"]))
+    assert float(losses8["loss"]) == pytest.approx(float(losses1["loss"]), rel=1e-4)
+    for a, c in zip(jax.tree_util.tree_leaves(p8), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5)

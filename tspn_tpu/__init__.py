@@ -25,4 +25,34 @@ paths and `jax.sharding`-based data parallelism instead of NCCL DDP.
 
 __version__ = "0.1.0"
 
-from tspn_tpu.config import Config, get_default_config  # noqa: F401
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the detector train step takes
+    ~6 min to compile over the tunneled dev TPU (CLAUDE.md); caching to
+    disk makes every re-run after the first warm. Opt out with
+    TSPN_NO_COMPILE_CACHE=1; cache dir override via JAX_COMPILATION_CACHE_DIR.
+    """
+    if _os.environ.get("TSPN_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/tspn_tpu/xla_cache"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that takes noticeable compile time; the
+        # default threshold (1s) skips mid-sized programs that still
+        # cost ~minutes over the remote-compile tunnel
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+
+_enable_compilation_cache()
+
+from tspn_tpu.config import Config, get_default_config  # noqa: F401, E402

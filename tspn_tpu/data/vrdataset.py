@@ -32,6 +32,7 @@ import numpy as np
 
 from tspn_tpu.data.annotations import AnnotationDataset
 from tspn_tpu.data.feature_store import (
+    FeatureLayout,
     SegmentFeatures,
     l1_normalize_bow_blocks,
     read_segment_features,
@@ -155,12 +156,16 @@ class SegmentDataset:
         # keep only proposal-proposal pairs (vrdataset.py:140-148)
         is_proposal = seg.trackid < 0
         keep = is_proposal[seg.pairs[:, 0]] & is_proposal[seg.pairs[:, 1]]
+        # explicit layout from the config's object vocabulary: widths
+        # inferred from the array could collide with a device-layout
+        # width (FeatureLayout.from_dim rejects those — ADVICE r2)
+        layout = FeatureLayout.for_objects(self.num_objects)
         if self.fused:
             from tspn_tpu.ops.pairwise import to_device_layout
 
-            feats = to_device_layout(seg.feats[keep])
+            feats = to_device_layout(seg.feats[keep], layout)
         else:
-            feats = l1_normalize_bow_blocks(seg.feats[keep])
+            feats = l1_normalize_bow_blocks(seg.feats[keep], layout)
         pairs = seg.pairs[keep].astype(np.int64)
         labels = labels[keep]
 

@@ -145,6 +145,7 @@ def run_detector_eval(
     import jax.numpy as jnp
 
     from tspn_tpu.detection.train import (
+        input_bucket_shape,
         letterbox,
         load_record_image,
         resize_shortest_edge,
@@ -161,9 +162,19 @@ def run_detector_eval(
             if train_cfg.input_policy == "letterbox":
                 img, _, scale = letterbox(img, no_boxes, train_cfg.image_size)
             else:
+                h0, w0 = img.shape[:2]
                 img, _, scale = resize_shortest_edge(
                     img, no_boxes, train_cfg.min_size, train_cfg.max_size
                 )
+                # zero-pad into the TRAINING orientation bucket: unpadded
+                # variable shapes would retrace/recompile the jitted
+                # detect per distinct resolution (minutes each over the
+                # dev tunnel), and the padded canvas matches the input
+                # distribution the model trained on (train.py make_batch)
+                bh, bw = input_bucket_shape(h0, w0, train_cfg)
+                canvas = np.zeros((bh, bw, 3), np.float32)
+                canvas[: img.shape[0], : img.shape[1]] = img
+                img = canvas
         out = detect(params, jnp.asarray(img))
         out = {k: np.asarray(v) for k, v in out.items()}
         out["boxes"] = out["boxes"] / scale  # back to annotation coords

@@ -80,17 +80,34 @@ def input_bucket_shape(
     return (short, long_) if w >= h else (long_, short)
 
 
+def _bilinear_resize(image: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Separable bilinear resample at half-pixel-center convention
+    (torchvision/PIL `align_corners=False`), border-replicated — matches
+    detectron2's PIL-bilinear ResizeShortestEdge up to PIL's adaptive
+    antialias on strong downscales (deviation recorded in DESIGN.md §5)."""
+    h, w = image.shape[:2]
+    ys = (np.arange(nh) + 0.5) * (h / nh) - 0.5
+    xs = (np.arange(nw) + 0.5) * (w / nw) - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    rows = image[y0] * (1.0 - wy) + image[y1] * wy  # (nh, w, C)
+    out = rows[:, x0] * (1.0 - wx) + rows[:, x1] * wx
+    return out.astype(image.dtype, copy=False)
+
+
 def resize_shortest_edge(
     image: np.ndarray, boxes: np.ndarray, min_size: int, max_size: int
 ) -> tuple[np.ndarray, np.ndarray, float]:
-    """Aspect-preserving resize at detectron2 semantics; returns
+    """Aspect-preserving bilinear resize at detectron2 semantics; returns
     (resized image, scaled boxes, scale)."""
     h, w = image.shape[:2]
     scale = shortest_edge_scale(h, w, min_size, max_size)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    ys = np.clip((np.arange(nh) / scale).astype(int), 0, h - 1)
-    xs = np.clip((np.arange(nw) / scale).astype(int), 0, w - 1)
-    return image[ys][:, xs], boxes * scale, scale
+    return _bilinear_resize(image, nh, nw), boxes * scale, scale
 
 
 def load_record_image(record: dict) -> np.ndarray:
@@ -113,9 +130,7 @@ def letterbox(
     h, w = image.shape[:2]
     scale = size / max(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    ys = np.clip((np.arange(nh) / scale).astype(int), 0, h - 1)
-    xs = np.clip((np.arange(nw) / scale).astype(int), 0, w - 1)
-    resized = image[ys][:, xs]
+    resized = _bilinear_resize(image, nh, nw)
     out = np.zeros((size, size, 3), np.float32)
     out[:nh, :nw] = resized
     return out, boxes * scale, scale

@@ -37,32 +37,29 @@ def auction_assignment(
     infeasible entries (cost >= BIG/2) never match.
 
     Successive augmentation is globally optimal only when every processed
-    row can end up matched, i.e. #valid rows <= #valid cols (on the
-    feasible submatrix). The orientation must therefore follow the
-    DYNAMIC valid counts, not the padded shape: with masks, a (32, 10)
-    matrix can hold an effective 4 x 5 problem (rows <= cols) — the old
-    static `n > m` transpose inverted it into 5 rows vs 4 cols and
-    silently dropped an uncontested optimal match once all valid columns
-    were owned (caught by the full-tracker parity oracle).
+    row can end up matched. Instead of transposing when #valid rows >
+    #valid cols (a data-dependent `lax.cond` — under vmap BOTH branches
+    execute, doubling every solve in `track_videos_batch`), N dummy
+    columns are appended whose cost exceeds every feasible entry: each
+    row can always match (dummy == unmatched), which (a) keeps the
+    augmenting-path invariant in both orientations and (b) preserves the
+    solution — minimizing total cost with a constant dummy price first
+    maximizes the number of real matches (scipy's rectangular behavior),
+    then minimizes their cost.
 
     (Name kept from the earlier auction-based implementation for API
     stability; the solver is LAPJV.)
     """
     n, m = cost.shape
-
-    def col_major(_):
-        col_to_row = _lapjv_rows(cost.T, col_valid, row_valid)
-        is_match = col_to_row[None, :] == jnp.arange(n)[:, None]  # (n, m)
-        return jnp.where(
-            jnp.any(is_match, axis=1), jnp.argmax(is_match, axis=1), -1
-        ).astype(jnp.int32)
-
-    return jax.lax.cond(
-        jnp.sum(row_valid) <= jnp.sum(col_valid),
-        lambda _: _lapjv_rows(cost, row_valid, col_valid),
-        col_major,
-        None,
+    feasible = row_valid[:, None] & col_valid[None, :] & (cost < BIG / 2)
+    spread = jnp.clip(jnp.max(jnp.where(feasible, jnp.abs(cost), 0.0)), 1.0)
+    dummy = 2.0 * spread + 1.0
+    cost_pad = jnp.concatenate(
+        [cost, jnp.full((n, n), jnp.float32(1.0)) * dummy], axis=1
     )
+    col_valid_pad = jnp.concatenate([col_valid, jnp.ones((n,), bool)])
+    r2c = _lapjv_rows(cost_pad, row_valid, col_valid_pad)
+    return jnp.where(r2c >= m, -1, r2c)
 
 
 def _lapjv_rows(cost, row_valid, col_valid):

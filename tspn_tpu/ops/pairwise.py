@@ -540,6 +540,105 @@ def normalize_classify_q8i8_pallas(
     return out[:p, :r]
 
 
+# ------------------------------------------------- transposed int8 MXU path
+# The q8s kernel's remaining waste is the OUTPUT LANE padding: R=132
+# predicates pad to 256 MXU lanes, capping useful-FLOP utilization at
+# 132/256 = 52% (DESIGN.md §7). On the MXU the two output axes are not
+# symmetric: lanes (N) pad to 128, but the streamed sublane axis (M)
+# pads only to the int8 sublane tile of 32. Transposing the whole
+# problem — predicates on M (132 -> 160, 82% useful), pairs on the
+# fully dense lane axis — recovers ~1.6x of MXU time with no change in
+# math. (The block-diagonal two-row-tile packing floated in round 2's
+# review is FLOP-neutral: the off-diagonal zeros still occupy the
+# array.) Requires features stored TRANSPOSED, (device_dim, P) int8 —
+# the consolidated q8 store writes that layout at preprocess time, so
+# no transpose ever happens on the hot path.
+
+def _kernel_q8t(x_ref, s_ref, w_ref, swb_ref, o_ref, *, layout):
+    """Transposed scales-precomputed int8 x int8 kernel.
+
+    x (device_dim, ct) int8 column tile, s (16, ct) f32 row multipliers
+    (row 0 head scale, rows 1..nb inverse block L1), w (rp, device_dim)
+    int8 transposed weights, swb (rp, 128) f32 (col 0 per-predicate
+    weight scale, col 1 bias) -> o (rp, ct) f32 logits, transposed.
+    """
+    hp = layout.dev_head_pad
+
+    def idot(w, x):
+        return jax.lax.dot_general(
+            w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+    acc = idot(w_ref[:, :hp], x_ref[:hp, :]).astype(jnp.float32) * s_ref[0:1, :]
+    for k in range(layout.num_bow_blocks):
+        lo = hp + k * layout.dev_block
+        acc += idot(
+            w_ref[:, lo : lo + layout.dev_block],
+            x_ref[lo : lo + layout.dev_block, :],
+        ).astype(jnp.float32) * s_ref[k + 1 : k + 2, :]
+    o_ref[:] = acc * swb_ref[:, 0:1] + swb_ref[:, 1:2]
+
+
+@partial(jax.jit, static_argnames=("col_tile", "layout"))
+def normalize_classify_q8t_pallas(
+    xt: jnp.ndarray,       # (device_dim, P) int8 — TRANSPOSED device layout
+    scales_t: jnp.ndarray,  # (16, P) f32 — precompute_q8_scales, transposed
+    qwt: jnp.ndarray,      # (R, device_dim) int8 — quantize_weights_percol'd, transposed
+    sw: jnp.ndarray,       # (R,) f32 per-column weight scale
+    b: jnp.ndarray,        # (R,) f32 bias
+    col_tile: int = 512,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """Fastest inference kernel: transposed int8 x int8 with host-
+    precomputed scales. Returns (R, P) f32 logits (transposed — callers
+    doing per-pair top-k transpose the small output, not the features).
+
+    Matches normalize_classify_q8s_pallas bit-for-bit (identical f32
+    accumulation order); the weight matrix is VMEM-resident across the
+    whole grid (its block index is constant), so per-pair HBM traffic is
+    one int8 read of the feature column + the (R, ct) f32 write.
+    """
+    d, p = xt.shape
+    assert d == layout.device_dim
+    r = qwt.shape[0]
+    rp = _round_up(r, 32)           # int8 sublane tile
+    pp = _round_up(max(p, col_tile), col_tile)
+
+    x = jnp.zeros((d, pp), jnp.int8).at[:, :p].set(xt)
+    st = jnp.zeros((16, pp), jnp.float32).at[:, :p].set(
+        scales_t.astype(jnp.float32)
+    )
+    wp = jnp.zeros((rp, d), jnp.int8).at[:r].set(qwt)
+    swb = jnp.zeros((rp, 128), jnp.float32)
+    swb = swb.at[:r, 0].set(sw.astype(jnp.float32))
+    swb = swb.at[:r, 1].set(b.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        partial(_kernel_q8t, layout=layout),
+        out_shape=jax.ShapeDtypeStruct((rp, pp), jnp.float32),
+        grid=(pp // col_tile,),
+        in_specs=[
+            pl.BlockSpec((d, col_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, col_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rp, col_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pp * d * rp,
+            bytes_accessed=pp * d + pp * 16 * 4 + d * rp + pp * rp * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, st, wp, swb)
+    return out[:r, :p]
+
+
 # -------------------------------------------------------------- Pallas path
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, layout: FeatureLayout):
     # head: classeme + relative blocks pass through unnormalized
