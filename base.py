@@ -61,8 +61,8 @@ def preprocessing(cfg, args, data_dir):
             "configs/vidor.yaml for the VidOR widths"
         )
     mode = str(cfg.PREDICT.get("CONSOLIDATED", "") or "")
-    assert mode in ("", "f32", "q8"), (
-        f"PREDICT.CONSOLIDATED={mode!r}; expected '', 'f32' or 'q8'"
+    assert mode in ("", "f32", "q8", "q8f"), (
+        f"PREDICT.CONSOLIDATED={mode!r}; expected '', 'f32', 'q8' or 'q8f'"
     )  # validate BEFORE the slow artifact pass
     splits = (
         ("training", "validation") if args.dataset == "vidor" else ("train", "test")
@@ -80,12 +80,14 @@ def preprocessing(cfg, args, data_dir):
     if mode:
         # the reference's actual --preprocess intent (base.py:36-39 there):
         # one consolidated hdf5 per split; "q8" additionally quantizes to
-        # int8 device-layout rows for the fast inference path
+        # int8 device-layout rows for the fast inference path; "q8f"
+        # stores the FACTORED representation (per-tracklet descriptors +
+        # per-pair relative rows — ~3.4x smaller, ops/pairwise)
         from tspn_tpu.data.preprocess import consolidate_split
 
         for split in splits:
             path = consolidate_split(
-                cfg, basedata, split, quantize=(mode == "q8")
+                cfg, basedata, split, quantize=(mode if mode != "f32" else False)
             )
             logger.info(f"consolidated {split} -> {path}")
 

@@ -1,4 +1,5 @@
-"""Benchmark: tracklet-pair relation scoring throughput on one TPU chip.
+"""Benchmark: tracklet-pair relation scoring throughput on one TPU chip,
+plus an end-to-end --detect leg.
 
 Workload = the relation-stage hot path (BASELINE.json metric "tracklet
 pairs scored/sec/chip"): L1 block normalization + Linear(11070 -> 132)
@@ -7,41 +8,54 @@ reference splits across a host-side per-sample normalize
 (vrdataset.py:219-242) and a batch-1 fp32 GPU Linear
 (model.py:76-88, TEST_BATCH_SIZE=1 in configs/baseline.yaml).
 
-Optimized path: the scales-precomputed int8 x int8 Pallas kernel
-(tspn_tpu.ops.pairwise.normalize_classify_q8s_pallas) over quantized
-device-layout features, 64 segments (63488 pairs) per dispatch — one
-int8 HBM read of the features, every MXU pass integer, all scales (per-
-row head / per-block 1/L1 / per-column weight) applied to the small f32
-accumulator. This is the kernel the consolidated q8 inference path
-(PREDICT.CONSOLIDATED="q8") actually runs; quantization is near-lossless
-(block scales cancel in L1 normalization — tests/test_q8_kernel.py; on
-the synthetic e2e fixture top predictions agree with f32 within int8
-rounding, see test_consolidated_q8_predict_equivalence). The bf16 fused kernel's
-throughput is reported alongside as "bf16_fused_value".
+Optimized path (round 3): the FACTORED int8 pipeline
+(ops/pairwise.factored_classify_q8_bucketed). Round-3 roofline work
+showed every dense kernel variant pins at this chip's achieved HBM
+streaming rate (~460 GB/s; XLA's own reductions measure 320-380 GB/s),
+so throughput is set by bytes/pair. The expanded 11264-byte rows are
+redundant — classeme + BoW blocks are per-tracklet, only the 3000-d
+relative block is pair-specific — so the factored path streams ~3.4x
+fewer bytes for the SAME math at the same int8 tier: per-tracklet
+partial logits (one q8s pass over N rows) + per-pair relative logits
+(one q8s pass over P rows) + a gather-free one-hot-matmul A-table add.
+This is what the consolidated q8f inference path
+(PREDICT.CONSOLIDATED="q8f") actually runs; quantization is
+near-lossless (top predictions agree with f32 within int8 rounding —
+tests/test_preprocess.py::test_consolidated_q8f_predict_equivalence).
+The previous rounds' expanded-row q8s kernel is reported alongside as
+"q8s_value" for continuity.
 
 vs_baseline: the same math as the reference executes it — unfused
-float32 XLA, one 992-pair segment per dispatch — measured on the SAME
-chip with the SAME protocol.
+float32 XLA over expanded rows, one 992-pair segment per dispatch —
+measured on the SAME chip with the SAME protocol.
+
+e2e leg (VERDICT r2 item 3): synthetic-fixture predict_segments
+(scored portion; process startup and artifact generation excluded),
+q8f-consolidated store vs the reference-style per-segment-file f32 path
+at TEST_BATCH_SIZE=1 — emitted as "e2e_segments_per_sec" and
+"e2e_vs_per_file_f32" so BASELINE.json's >=5x end-to-end north star is
+a tracked number.
 
 Measurement protocol (memory: axon-tpu-quirks): the dev tunnel memoizes
 identical dispatches and pipelines independent ones, so every iteration
 must (a) carry unique input content and (b) depend on the previous
-iteration's output. Both are satisfied by scaling the SMALL weight
-matrix with (1 + eps*(tag + carry)) — a ~3 MB side input — rather than
-perturbing the multi-GB feature buffer: an elementwise add on the
-features costs a full extra HBM read+write that XLA fuses into its own
-matmuls but a custom-call kernel cannot, which previously understated
-the fused kernel by ~2.4x. Both legs use >= 20 timed iterations and the
-spread is reported.
+iteration's output. Both are satisfied by scaling SMALL side inputs
+(weight column scales / classifier params) with (1 + eps*(tag + carry))
+rather than perturbing the multi-GB feature buffers: an elementwise add
+on the features costs a full extra HBM read+write that XLA fuses into
+its own matmuls but a custom-call kernel cannot, which previously
+understated the fused kernel by ~2.4x.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "value_iqr": [p25, p75], "baseline_value": N, "iters": [opt, ref]}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
+import tempfile
 import time
 
 import jax
@@ -49,7 +63,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time_chained_unique(step_fn, iters, repeats=5, warmup=3):
+def _time_chained(step_fn, iters, repeats=5, warmup=3):
     """Per-iteration time (one value per repeat) under the chained-unique
     protocol.
 
@@ -74,45 +88,84 @@ def _time_chained_unique(step_fn, iters, repeats=5, warmup=3):
     return np.asarray(per_iter)
 
 
-def main():
+def bench_kernels():
+    from tspn_tpu.data.feature_store import FEATURE_DIM
     from tspn_tpu.ops.pairwise import (
         DEVICE_DIM,
         _permutation,
+        factored_classify_q8_bucketed,
         normalize_classify,
-        normalize_classify_pallas,
         normalize_classify_q8s_pallas,
         quantize_weights_percol,
+        rel_geom,
+        split_weights_factored,
+        tracklet_geom,
         weights_to_device_layout,
     )
-    from tspn_tpu.data.feature_store import FEATURE_DIM
 
     num_predicates = 132
-    pairs_per_seg = 32 * 31  # 32-tracklet bucket
+    n_trk = 32
+    pairs_per_seg = n_trk * (n_trk - 1)  # 992
     segments = 96  # ~95k pairs/dispatch: amortizes tunnel dispatch latency
     p_total = segments * pairs_per_seg
+    nt_total = segments * n_trk
 
     rng = np.random.RandomState(0)
     w = (rng.randn(FEATURE_DIM, num_predicates) * 0.01).astype(np.float32)
     b = np.zeros(num_predicates, np.float32)
-
-    # features are generated ON DEVICE (host->device of multi-GB arrays
-    # over the dev tunnel would dominate the measurement); the valid-column
-    # mask reproduces the device layout's zero padding
-    col_valid_i8 = jnp.asarray((_permutation() >= 0), jnp.int8)
-    col_valid = col_valid_i8.astype(jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    w_dev = jnp.asarray(weights_to_device_layout(w), jnp.bfloat16)
-    qw, sw = quantize_weights_percol(weights_to_device_layout(w))
-    qw_dev, sw_dev = jnp.asarray(qw), jnp.asarray(sw)
     b_dev = jax.device_put(b)
 
-    # headline leg: int8 rows + (P, 16) precomputed scales (col 0 head
-    # scale, cols 1..8 inverse block-L1 sums — representative magnitudes)
-    mk_q8 = jax.jit(
+    # ---- headline: factored int8 pipeline (the q8f store's scorer).
+    # Features generated ON DEVICE (host->device of GB arrays over the
+    # dev tunnel would dominate); large buffers are jit ARGUMENTS, never
+    # closed-over constants (remote-compiler hangs otherwise).
+    geo_t, geo_r = tracklet_geom(), rel_geom()
+    wq = {k: jnp.asarray(v) for k, v in split_weights_factored(w).items()}
+    trk_q = jax.jit(
+        lambda k: (jax.random.bits(k, (nt_total, geo_t.device_dim), jnp.uint8)
+                   & 0x7F).astype(jnp.int8)
+    )(jax.random.PRNGKey(1))
+    trk_s = (
+        jax.random.uniform(jax.random.PRNGKey(2), (nt_total, 16), jnp.float32)
+        * 0.01 + 1e-4
+    )
+    rel_q = jax.jit(
+        lambda k: (jax.random.bits(k, (p_total, geo_r.device_dim), jnp.uint8)
+                   & 0x7F).astype(jnp.int8)
+    )(jax.random.PRNGKey(3))
+    rel_s = (
+        jax.random.uniform(jax.random.PRNGKey(4), (p_total, 16), jnp.float32)
+        * 0.01 + 1e-4
+    )
+
+    @jax.jit
+    def fact_step(tq, ts, rq, rs, swr, tag, carry):
+        wqi = dict(wq)
+        # unique content + dependency chain through the SMALL col scales
+        wqi["sw_rel"] = swr * (1.0 + 1e-6 * (tag + carry))
+        out = factored_classify_q8_bucketed(
+            tq, ts, rq, rs, wqi, b_dev, num_tracklets=n_trk
+        )
+        return jnp.max(out)
+
+    OPT_ITERS, OPT_REPEATS = 50, 7
+    t_opt = _time_chained(
+        lambda tag, c: fact_step(
+            trk_q, trk_s, rel_q, rel_s, wq["sw_rel"], jnp.float32(tag), c
+        ),
+        iters=OPT_ITERS, repeats=OPT_REPEATS,
+    )
+    pairs_per_sec = p_total / np.median(t_opt)
+    p25, p75 = np.percentile(t_opt, [25, 75])
+
+    # ---- expanded-row q8s kernel (rounds 1-2 headline, for continuity)
+    col_valid_i8 = jnp.asarray((_permutation() >= 0), jnp.int8)
+    qw, sw = quantize_weights_percol(weights_to_device_layout(w))
+    qw_dev, sw_dev = jnp.asarray(qw), jnp.asarray(sw)
+    feats_q8 = jax.jit(
         lambda k: (jax.random.bits(k, (p_total, DEVICE_DIM), jnp.uint8) & 0x7F)
         .astype(jnp.int8) * col_valid_i8
-    )
-    feats_q8 = mk_q8(key)
+    )(jax.random.PRNGKey(0))
     scales = jnp.concatenate(
         [
             jax.random.uniform(jax.random.PRNGKey(1), (p_total, 9), jnp.float32)
@@ -122,49 +175,25 @@ def main():
         axis=1,
     )
 
-    # NOTE: all large buffers are explicit jit ARGUMENTS — closing over
-    # them embeds GB-scale constants in the HLO, which the remote TPU
-    # compiler chokes on (see memory: axon-tpu-quirks)
     @jax.jit
     def q8_step(x, s, qw_, sw_, b_, tag, carry):
-        # unique content + dependency chain through the SMALL col scales
         swi = sw_ * (1.0 + 1e-6 * (tag + carry))
         out = normalize_classify_q8s_pallas(x, s, qw_, swi, b_, row_tile=256)
         return jnp.max(out)
 
-    def q8_fn(tag, carry):
-        return q8_step(
-            feats_q8, scales, qw_dev, sw_dev, b_dev, jnp.float32(tag), carry
-        )
-
-    OPT_ITERS, OPT_REPEATS = 50, 7
-    t_opt = _time_chained_unique(q8_fn, iters=OPT_ITERS, repeats=OPT_REPEATS)
-    pairs_per_sec = p_total / np.median(t_opt)
-    p25, p75 = np.percentile(t_opt, [25, 75])
-
-    # ---- bf16 fused kernel (the training-compatible fused path)
-    feats_dev = (
-        jax.random.uniform(key, (p_total, DEVICE_DIM), jnp.bfloat16) * col_valid
-    )
-
-    @jax.jit
-    def bf16_step(x, w_, b_, tag, carry):
-        wi = (w_ * (1.0 + 1e-6 * (tag + carry)).astype(w_.dtype))
-        out = normalize_classify_pallas(x, wi, b_, row_tile=128)
-        return jnp.max(out)
-
-    t_bf16 = _time_chained_unique(
-        lambda tag, carry: bf16_step(
-            feats_dev, w_dev, b_dev, jnp.float32(tag), carry
+    t_q8s = _time_chained(
+        lambda tag, c: q8_step(
+            feats_q8, scales, qw_dev, sw_dev, b_dev, jnp.float32(tag), c
         ),
-        iters=50,
-        repeats=5,
+        iters=40, repeats=5,
     )
-    bf16_pairs_per_sec = p_total / np.median(t_bf16)
+    q8s_pairs_per_sec = p_total / np.median(t_q8s)
 
     # ---- reference-style: unfused f32, one segment per dispatch
-    seg = jax.random.uniform(key, (pairs_per_seg, FEATURE_DIM), jnp.float32)
-    w32, b32 = jax.device_put(w), jax.device_put(b)
+    seg = jax.random.uniform(
+        jax.random.PRNGKey(0), (pairs_per_seg, FEATURE_DIM), jnp.float32
+    )
+    w32 = jax.device_put(w)
 
     @jax.jit
     def ref_one(x, w_, b_, tag, carry):
@@ -175,25 +204,130 @@ def main():
     def ref_step(tag, carry):
         c = carry
         for s in range(segments):
-            c = ref_one(seg, w32, b32, jnp.float32(tag * segments + s), c)
+            c = ref_one(seg, w32, b_dev, jnp.float32(tag * segments + s), c)
         return c
 
     # the baseline leg is dispatch-heavy (one 992-pair segment per
     # dispatch); extra repeats damp tunnel-load variance in the ratio
-    REF_ITERS, REF_REPEATS = 5, 7
-    t_ref = _time_chained_unique(ref_step, iters=REF_ITERS, repeats=REF_REPEATS, warmup=2)
+    t_ref = _time_chained(ref_step, iters=5, repeats=7, warmup=2)
     ref_pairs_per_sec = p_total / np.median(t_ref)
 
-    print(json.dumps({
-        "metric": "tracklet_pairs_scored_per_sec_per_chip",
+    return {
         "value": round(pairs_per_sec, 1),
-        "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / ref_pairs_per_sec, 2),
         "value_iqr": [round(p_total / p75, 1), round(p_total / p25, 1)],
         "baseline_value": round(ref_pairs_per_sec, 1),
-        "bf16_fused_value": round(bf16_pairs_per_sec, 1),
-        "iters": [OPT_REPEATS * OPT_ITERS, REF_REPEATS * REF_ITERS],
-    }))
+        "q8s_value": round(q8s_pairs_per_sec, 1),
+        "iters": [OPT_REPEATS * OPT_ITERS, 35],
+    }
+
+
+def bench_e2e():
+    """Scored-portion segments/s of predict_segments: q8f consolidated
+    store vs the reference-style per-segment-file f32 path (batch 1)."""
+    from tspn_tpu.config import get_default_config
+    from tspn_tpu.data.annotations import VidVRD
+    from tspn_tpu.data.preprocess import (
+        ConsolidatedSegmentDataset,
+        consolidate_split,
+    )
+    from tspn_tpu.data.segments import set_output_dir
+    from tspn_tpu.data.synthetic import (
+        generate_annotations,
+        generate_segment_artifacts,
+    )
+    from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+    from tspn_tpu.models.tspn import build_model
+    from tspn_tpu.runtime.predict import predict_segments
+
+    work = tempfile.mkdtemp(prefix="tspn_bench_e2e_")
+    try:
+        data_dir = os.path.join(work, "vidvrd")
+        out_dir = os.path.join(work, "out")
+        generate_annotations(
+            data_dir, num_train=1, num_test=6, frame_count=120,
+            objects_per_video=4, relations_per_video=5, seed=5,
+            num_categories=8, num_predicate_types=16,
+        )
+        dataset = VidVRD(
+            data_dir, os.path.join(data_dir, "videos"), ["train", "test"]
+        )
+        set_output_dir(out_dir)
+        generate_segment_artifacts(dataset, out_dir, seed=5)
+
+        cfg = get_default_config()
+        cfg.PREDICT.PREDICATE_NUM = dataset.get_predicate_num()
+        cfg.RELPN.USE_PPN = False
+        cfg.RELPN.USE_DPN = False
+
+        q8f_path = consolidate_split(
+            cfg, dataset, "test", os.path.join(work, "q8f.hdf5"),
+            quantize="q8f",
+        )
+
+        model = build_model(cfg)
+        bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
+        p = bucket * (bucket - 1)
+        example = {
+            "feats": np.zeros((1, p, effective_feature_dim(cfg)), np.float32),
+            "pairs": np.zeros((1, p, 2), np.int32),
+            "labels": np.zeros((1, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
+            "pair_mask": np.zeros((1, p), np.float32),
+            "cls_logits": np.zeros((1, bucket, cfg.PREDICT.OBJECT_NUM), np.float32),
+            "track_mask": np.zeros((1, bucket), np.float32),
+        }
+        params0 = model.init(jax.random.PRNGKey(0), example)["params"]
+
+        def perturbed(i):
+            # unique dispatch content per repeat (tunnel memoizes
+            # repeated identical dispatches) via a tiny classifier scale
+            return jax.tree_util.tree_map(
+                lambda x: x * (1.0 + 1e-6 * i), params0
+            )
+
+        def run_leg(make_dataset, cfg_leg, repeats=3):
+            times, n_segs = [], 0
+            for i in range(repeats + 1):  # first pass warms compile + IO
+                ds = make_dataset()
+                t0 = time.perf_counter()
+                out = predict_segments(cfg_leg, model, perturbed(i), ds)
+                dt = time.perf_counter() - t0
+                n_segs = len(out)
+                if i > 0:
+                    times.append(dt)
+            return n_segs / float(np.median(times)), n_segs
+
+        cfg_q8f = cfg.clone()
+        cfg_q8f.DATASET.TEST_BATCH_SIZE = 8
+        q8f_rate, n_segs = run_leg(
+            lambda: ConsolidatedSegmentDataset(cfg_q8f, q8f_path), cfg_q8f
+        )
+
+        cfg_f32 = cfg.clone()
+        cfg_f32.DATASET.TEST_BATCH_SIZE = 1  # reference's TEST_BATCH_SIZE
+        f32_rate, _ = run_leg(
+            lambda: SegmentDataset(cfg_f32, dataset, phase="test"), cfg_f32
+        )
+        return {
+            "e2e_segments_per_sec": round(q8f_rate, 2),
+            "e2e_vs_per_file_f32": round(q8f_rate / f32_rate, 2),
+            "e2e_num_segments": n_segs,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main():
+    out = {
+        "metric": "tracklet_pairs_scored_per_sec_per_chip",
+        "unit": "pairs/s",
+    }
+    out.update(bench_kernels())
+    try:
+        out.update(bench_e2e())
+    except Exception as exc:  # noqa: BLE001 — kernel metric still reports
+        out["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

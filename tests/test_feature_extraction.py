@@ -95,3 +95,104 @@ def test_too_few_tracklets_returns_none(tmp_path, rng):
     set_output_dir(str(tmp_path))
     props = [Trajectory(0, 30, _boxes(1, 30, rng)[0], 0.9, 0, [0.0] * 35)]
     assert extract_segment_artifacts("vidY", 0, 30, props) is None
+
+
+# ---------------------------------------------------------------------------
+# Learned appearance path (round 3, VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+def _train_linear_ap(feats, labels, steps=300):
+    """Tiny logistic probe: train Linear(D->1) on half, AP on the rest."""
+    import jax
+    import jax.numpy as jnp
+
+    from tspn_tpu.evaluation.common import voc_ap
+
+    n = feats.shape[0]
+    idx = np.arange(n)
+    tr, te = idx[::2], idx[1::2]
+    x_tr, y_tr = jnp.asarray(feats[tr]), jnp.asarray(labels[tr])
+    w = jnp.zeros((feats.shape[1],))
+    b = jnp.zeros(())
+
+    @jax.jit
+    def step(w, b):
+        def loss_fn(w, b):
+            z = x_tr @ w + b
+            return jnp.mean(
+                jnp.maximum(z, 0) - z * y_tr + jnp.log1p(jnp.exp(-jnp.abs(z)))
+            )
+        gw, gb = jax.grad(loss_fn, argnums=(0, 1))(w, b)
+        return w - 2.0 * gw, b - 2.0 * gb
+
+    for _ in range(steps):
+        w, b = step(w, b)
+    scores = np.asarray(feats[te] @ np.asarray(w) + float(b))
+    y = labels[te]
+    order = np.argsort(-scores)
+    tp = y[order] > 0.5
+    if tp.sum() == 0:
+        return 0.0
+    recall = np.cumsum(tp) / tp.sum()
+    precision = np.cumsum(tp) / (np.arange(len(tp)) + 1)
+    return float(voc_ap(recall, precision))
+
+
+def test_learned_appearance_separates_visual_relations(rng):
+    """Measurement behind FEATURES.APPEARANCE='learned': relations defined
+    purely by VISUAL identity (identical geometry + classemes across all
+    tracklets) are unlearnable from geometric features (~chance AP) and
+    cleanly separable once the appearance block carries embeddings."""
+    import jax.numpy as jnp
+
+    from tspn_tpu.data.feature_store import enumerate_ordered_pairs
+    from tspn_tpu.features.extraction import assemble_pair_features
+
+    n, t, e = 12, 30, 16
+    # identical static boxes and uniform classemes: geometry carries zero
+    # information about identity
+    boxes = np.tile(np.asarray([10.0, 10, 50, 50]), (n, t, 1))
+    classemes = np.full((n, 35), 1.0 / 35, np.float32)
+    pairs = enumerate_ordered_pairs(n)
+    group = (np.arange(n) % 2).astype(bool)  # two visual groups
+    emb = np.where(
+        group[:, None], rng.randn(1, e) + 0.0, rng.randn(1, e) + 2.0
+    ).astype(np.float32) + rng.randn(n, e).astype(np.float32) * 0.05
+    labels = (group[pairs[:, 0]] & ~group[pairs[:, 1]]).astype(np.float64)
+
+    f_geo = np.asarray(assemble_pair_features(
+        jnp.asarray(boxes, jnp.float32), jnp.asarray(classemes),
+        jnp.asarray(pairs), image_wh=(100.0, 100.0),
+    ))
+    f_app = np.asarray(assemble_pair_features(
+        jnp.asarray(boxes, jnp.float32), jnp.asarray(classemes),
+        jnp.asarray(pairs), image_wh=(100.0, 100.0),
+        appearance=jnp.asarray(emb),
+    ))
+    ap_geo = _train_linear_ap(f_geo, labels)
+    ap_app = _train_linear_ap(f_app, labels)
+    chance = labels.mean()
+    assert ap_app > 0.95, ap_app
+    assert ap_geo < chance + 0.25, (ap_geo, chance)
+
+    # structural guarantee: learned mode touches ONLY the last per-
+    # tracklet BoW slot of each role — motion information is preserved
+    diff = np.abs(f_geo - f_app).max(axis=0) > 1e-7
+    changed = np.flatnonzero(diff)
+    sub_last = np.arange(70 + 3000, 70 + 4000)
+    obj_last = np.arange(70 + 7000, 70 + 8000)
+    allowed = np.concatenate([sub_last, obj_last])
+    assert np.isin(changed, allowed).all()
+
+
+def test_appearance_to_block_contract(rng):
+    """Appearance blocks obey the BoW slot contract: nonnegative, L1=1."""
+    from tspn_tpu.features.extraction import appearance_to_block
+
+    emb = rng.randn(7, 128).astype(np.float32)
+    blk = np.asarray(appearance_to_block(emb))
+    assert blk.shape == (7, 1000)
+    assert (blk >= 0).all()
+    np.testing.assert_allclose(blk.sum(axis=-1), 1.0, atol=1e-5)
+    # distinct embeddings stay distinct through the block encoding
+    assert np.abs(blk[0] - blk[1]).sum() > 1e-3

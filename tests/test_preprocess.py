@@ -167,3 +167,67 @@ def test_profiling_helpers():
     t.data_ready()
     t.step_done(x)
     assert t.data_time >= 0 and t.step_time >= 0
+
+
+def test_consolidated_q8f_predict_equivalence(cfg, synthetic_dataset, tmp_path):
+    """End to end: predict_segments over the FACTORED int8 store (q8f —
+    per-tracklet descriptors + per-pair relative rows, ~3.4x smaller)
+    matches the standard per-file path up to int8 rounding."""
+    import jax
+
+    from tspn_tpu.data.preprocess import ConsolidatedSegmentDataset
+    from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+    from tspn_tpu.models.tspn import build_model
+    from tspn_tpu.runtime.predict import predict_segments
+
+    cfg = cfg.clone()
+    cfg.RELPN.USE_PPN = False
+    cfg.RELPN.USE_DPN = False
+    cfg.DATASET.TEST_BATCH_SIZE = 4
+
+    path = consolidate_split(
+        cfg, synthetic_dataset, "test", str(tmp_path / "test_q8f.hdf5"),
+        quantize="q8f",
+    )
+    cons = ConsolidatedSegmentDataset(cfg, path)
+    assert cons.quantized and cons.factored
+    rec = cons.load_segment(0)
+    from tspn_tpu.ops.pairwise import rel_geom, tracklet_geom
+
+    assert rec.feats.dtype == np.int8
+    assert rec.feats.shape[1] == rel_geom().device_dim
+    assert rec.trk_feats.dtype == np.int8
+    assert rec.trk_feats.shape == (rec.num_proposals, tracklet_geom().device_dim)
+    assert rec.trk_scales.shape == (rec.num_proposals, 16)
+
+    std = SegmentDataset(cfg, synthetic_dataset, phase="test")
+    model = build_model(cfg)
+    bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
+    p = bucket * (bucket - 1)
+    example = {
+        "feats": np.zeros((1, p, effective_feature_dim(cfg)), np.float32),
+        "pairs": np.zeros((1, p, 2), np.int32),
+        "labels": np.zeros((1, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
+        "pair_mask": np.zeros((1, p), np.float32),
+        "cls_logits": np.zeros((1, bucket, cfg.PREDICT.OBJECT_NUM), np.float32),
+        "track_mask": np.zeros((1, bucket), np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(3), example)["params"]
+
+    out_std = predict_segments(cfg, model, params, std)
+    out_q8f = predict_segments(cfg, model, params, cons)
+    assert set(out_std) == set(out_q8f)
+    agree = 0
+    for key in out_std:
+        preds_s, iou_s, tid_s = out_std[key]
+        preds_q, iou_q, tid_q = out_q8f[key]
+        np.testing.assert_array_equal(iou_s, iou_q)
+        np.testing.assert_array_equal(tid_s, tid_q)
+        if not preds_s or not preds_q:
+            continue
+        s_score, s_trip, s_tids = preds_s[0]
+        q_score, q_trip, q_tids = preds_q[0]
+        assert abs(float(s_score) - float(q_score)) < 5e-3
+        if (s_trip == q_trip).all() and (s_tids == q_tids).all():
+            agree += 1
+    assert agree >= 0.8 * len(out_std), (agree, len(out_std))

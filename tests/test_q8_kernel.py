@@ -227,3 +227,128 @@ def test_q8t_vidor_layout(rng):
         np.ascontiguousarray(qw.T), sw, b, layout=lo,
     ))
     np.testing.assert_allclose(out.T, ref, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Factored feature path (round 3): per-tracklet + per-pair representation
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def factored_inputs(rng):
+    """Structurally consistent pair features: rows expanded from
+    per-tracklet descriptors + per-pair relative blocks (the layout's
+    actual redundancy, vrdataset.py:219-242)."""
+    from tspn_tpu.data.feature_store import enumerate_ordered_pairs
+
+    lo = DEFAULT_LAYOUT
+    n, r = 5, 7
+    cls = (rng.randn(n, lo.classeme_dim) * 2).astype(np.float32)
+    bow = (
+        rng.randint(0, 9, size=(n, 4 * lo.bow_block_size))
+        * (rng.rand(n, 4 * lo.bow_block_size) < 0.08)
+    ).astype(np.float32)
+    pairs = enumerate_ordered_pairs(n)
+    p = pairs.shape[0]
+    rel = (rng.randn(p, lo.rel_dim) * 0.3).astype(np.float32)
+    feats = np.zeros((p, lo.dim), np.float32)
+    sub, obj = pairs[:, 0], pairs[:, 1]
+    feats[:, : lo.classeme_dim] = cls[sub]
+    feats[:, lo.classeme_dim : 2 * lo.classeme_dim] = cls[obj]
+    half = 4 * lo.bow_block_size
+    feats[:, lo.bow_start : lo.bow_start + half] = bow[sub]
+    feats[:, lo.bow_start + half : lo.rel_start] = bow[obj]
+    feats[:, lo.rel_start :] = rel
+    w = (rng.randn(lo.dim, r) * 0.01).astype(np.float32)
+    b = rng.randn(r).astype(np.float32)
+    return lo, cls, bow, rel, pairs, feats, w, b
+
+
+def test_factored_close_to_f32(factored_inputs):
+    """Exact-factorization check: the factored q8 path must match the
+    expanded f32 classifier within the q8 quantization tolerance."""
+    import jax.numpy as jnp
+
+    from tspn_tpu.ops.pairwise import (
+        factor_rel_features_q8,
+        factor_tracklet_features_q8,
+        factored_classify_q8,
+        split_weights_factored,
+    )
+
+    lo, cls, bow, rel, pairs, feats, w, b = factored_inputs
+    trk_q, trk_s = factor_tracklet_features_q8(cls, bow, lo)
+    rel_q, rel_s = factor_rel_features_q8(rel, lo)
+    wq = {k: jnp.asarray(v) for k, v in split_weights_factored(w, lo).items()}
+    out = np.asarray(factored_classify_q8(
+        jnp.asarray(trk_q), jnp.asarray(trk_s),
+        jnp.asarray(rel_q), jnp.asarray(rel_s),
+        jnp.asarray(pairs.astype(np.int32)), wq, jnp.asarray(b), layout=lo,
+    ))
+    ref = np.asarray(normalize_classify(feats, w, b))
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() / scale < 0.03, (
+        np.abs(out - ref).max(), scale
+    )
+
+
+def test_factor_expanded_rows_roundtrip(factored_inputs):
+    """Factoring EXPANDED rows recovers exactly the quantization of the
+    original per-tracklet descriptors."""
+    from tspn_tpu.ops.pairwise import (
+        factor_expanded_rows_q8,
+        factor_rel_features_q8,
+        factor_tracklet_features_q8,
+    )
+
+    lo, cls, bow, rel, pairs, feats, w, b = factored_inputs
+    tq1, ts1 = factor_tracklet_features_q8(cls, bow, lo)
+    rq1, rs1 = factor_rel_features_q8(rel, lo)
+    tq2, ts2, rq2, rs2 = factor_expanded_rows_q8(
+        feats, pairs, num_tracklets=cls.shape[0], layout=lo
+    )
+    np.testing.assert_array_equal(tq1, tq2)
+    np.testing.assert_allclose(ts1, ts2, rtol=1e-6)
+    np.testing.assert_array_equal(rq1, rq2)
+    np.testing.assert_allclose(rs1, rs2, rtol=1e-6)
+
+
+def test_factored_vidor_layout(rng):
+    """Factored path at VidOR geometry (C=80)."""
+    import jax.numpy as jnp
+
+    from tspn_tpu.data.feature_store import enumerate_ordered_pairs
+    from tspn_tpu.ops.pairwise import (
+        factor_rel_features_q8,
+        factor_tracklet_features_q8,
+        factored_classify_q8,
+        split_weights_factored,
+    )
+
+    lo = FeatureLayout.for_objects(80)
+    n, r = 4, 6
+    cls = rng.randn(n, 80).astype(np.float32)
+    bow = (rng.rand(n, 4000) < 0.02).astype(np.float32) * 3
+    pairs = enumerate_ordered_pairs(n)
+    rel = rng.randn(pairs.shape[0], 3000).astype(np.float32)
+    w = (rng.randn(lo.dim, r) * 0.01).astype(np.float32)
+    b = np.zeros(r, np.float32)
+
+    feats = np.zeros((pairs.shape[0], lo.dim), np.float32)
+    feats[:, :80] = cls[pairs[:, 0]]
+    feats[:, 80:160] = cls[pairs[:, 1]]
+    feats[:, lo.bow_start : lo.bow_start + 4000] = bow[pairs[:, 0]]
+    feats[:, lo.bow_start + 4000 : lo.rel_start] = bow[pairs[:, 1]]
+    feats[:, lo.rel_start :] = rel
+
+    trk_q, trk_s = factor_tracklet_features_q8(cls, bow, lo)
+    rel_q, rel_s = factor_rel_features_q8(rel, lo)
+    wq = {k: jnp.asarray(v) for k, v in split_weights_factored(w, lo).items()}
+    out = np.asarray(factored_classify_q8(
+        jnp.asarray(trk_q), jnp.asarray(trk_s),
+        jnp.asarray(rel_q), jnp.asarray(rel_s),
+        jnp.asarray(pairs.astype(np.int32)), wq, jnp.asarray(b), layout=lo,
+    ))
+    ref = np.asarray(normalize_classify(feats, w, b))
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() / scale < 0.03

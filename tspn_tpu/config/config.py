@@ -131,6 +131,19 @@ def get_default_config() -> Config:
                 # layout (tspn_tpu.ops.pairwise) instead of host-normalized
                 "FUSED_CLASSIFIER": False,
             },
+            "FEATURES": {
+                # per-tracklet appearance source for self-produced relation
+                # features (features/extraction): "learned" fills the last
+                # BoW slot with re-ID/RoI embeddings when the pipeline
+                # provides them (models/reid), falling back to the
+                # geometric proxy otherwise; "geometric" forces the proxy.
+                # Default chosen by measurement: learned embeddings
+                # separate visually-defined relations that geometric
+                # features provably cannot (tests/test_feature_extraction.py
+                # ::test_learned_appearance_separates_visual_relations)
+                # while leaving the motion blocks untouched.
+                "APPEARANCE": "learned",
+            },
             "SOLVER": {
                 "MAX_ITER": 2000,
                 "BASE_LR": 1e-2,
@@ -166,10 +179,12 @@ def get_default_config() -> Config:
                 "FEATURE_DIM": 11070,
                 # ---- TPU-native extension: consolidated inference store
                 # "" = per-segment h5 files (reference layout);
-                # "f32" / "q8" = --preprocess additionally consolidates the
+                # "f32" / "q8" / "q8f" = --preprocess additionally consolidates the
                 # split into one HDF5 (the reference's broken-preprocess
                 # intent) and --detect serves segments from it; "q8" stores
-                # int8 device-layout rows scored by the quantized kernel
+                # int8 device-layout rows scored by the quantized kernel;
+                # "q8f" stores factored per-tracklet + per-pair-relative
+                # int8 rows (~3.4x smaller, scored by the factored kernel)
                 "CONSOLIDATED": "",
                 # shard the segment batch across the device mesh at
                 # inference (SPMD; TEST_BATCH_SIZE must divide mesh size)

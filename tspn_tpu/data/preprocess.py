@@ -40,7 +40,7 @@ def consolidated_path(phase: str) -> str:
 
 def consolidate_split(
     cfg, dataset, phase: str, output_path: Optional[str] = None,
-    quantize: bool = False,
+    quantize=False,
 ) -> str:
     """Write preprocessed_{phase}_dataset.hdf5; returns the path.
 
@@ -52,12 +52,19 @@ def consolidate_split(
     `row_ranges` (S, 2); ragged iou / trackid / cls_logits flattened with
     offset tables; num_proposals (S,).
 
-    quantize=True: feats become int8 device-layout rows plus
-    `head_scale` (R,) f32 (see ops/pairwise.to_device_layout_q8); attrs
-    record the mode. Quantization includes the device relayout, so the
-    pass always reads RAW storage-layout features (FUSED_CLASSIFIER is
-    forced off for the consolidation read regardless of the config).
+    quantize=True or "q8": feats become int8 device-layout rows plus
+    per-row scales (see ops/pairwise.to_device_layout_q8); attrs record
+    the mode. quantize="q8f": the FACTORED int8 store — per-TRACKLET
+    descriptor rows (trk_feats/trk_scales, classeme + own-role BoW) and
+    per-PAIR relative rows only (`feats` (R, rel_pad)), exploiting the
+    expanded layout's per-tracklet redundancy for ~3.4x smaller rows
+    (ops/pairwise factored path). Quantization includes the device
+    relayout, so the pass always reads RAW storage-layout features
+    (FUSED_CLASSIFIER is forced off for the consolidation read).
     """
+    mode = quantize if isinstance(quantize, str) else ("q8" if quantize else "")
+    assert mode in ("", "q8", "q8f"), mode
+    quantize = bool(mode)
     if quantize and cfg.MODEL.get("FUSED_CLASSIFIER", False):
         cfg = cfg.clone()
         cfg.MODEL.FUSED_CLASSIFIER = False
@@ -68,6 +75,7 @@ def consolidate_split(
     if quantize:
         from tspn_tpu.data.feature_store import FeatureLayout
         from tspn_tpu.ops.pairwise import (
+            factor_expanded_rows_q8,
             precompute_q8_scales,
             to_device_layout_q8,
         )
@@ -93,6 +101,7 @@ def consolidate_split(
     signatures: List[str] = []
     row_ranges: List[tuple] = []
     iou_offsets, tid_offsets, cls_offsets = [0], [0], [0]
+    trk_offsets = [0]
     num_proposals = []
     row = 0
     with h5py.File(output_path, "w") as f:
@@ -100,7 +109,17 @@ def consolidate_split(
             rec = seg_dataset.load_segment(i)
             vid, fstart, fend = rec.index
             signatures.append(f"{vid}-{fstart:04d}-{fend:04d}")
-            if quantize:
+            if mode == "q8f":
+                trk_q, trk_s, rel_q, rel_s = factor_expanded_rows_q8(
+                    rec.feats, rec.pairs, rec.num_proposals, layout
+                )
+                _append(f, "feats", rel_q, np.int8)
+                _append(f, "q8_scales", rel_s, np.float32)
+                trk_offsets.append(
+                    trk_offsets[-1] + _append(f, "trk_feats", trk_q, np.int8)
+                )
+                _append(f, "trk_scales", trk_s, np.float32)
+            elif quantize:
                 q, s = to_device_layout_q8(rec.feats, layout)
                 _append(f, "feats", q, np.int8)
                 # (R, 16) precomputed row multipliers: [head scale, 8 x 1/L1]
@@ -131,9 +150,14 @@ def consolidate_split(
             num_proposals.append(rec.num_proposals)
 
         f.attrs["quantized"] = bool(quantize)
+        f.attrs["mode"] = mode or "f32"
         if quantize:
             f.attrs["device_dim"] = layout.device_dim
             f.attrs["classeme_dim"] = layout.classeme_dim
+        if mode == "q8f":
+            f.create_dataset(
+                "trk_offsets", data=np.asarray(trk_offsets, np.int64)
+            )
         f.attrs["num_objects"] = seg_dataset.num_objects
         f.attrs["num_predicates"] = seg_dataset.num_predicates
         f.create_dataset(
@@ -172,6 +196,12 @@ class ConsolidatedStore:
     def __init__(self, path: str):
         self._f = h5py.File(path, "r")
         self.quantized = bool(self._f.attrs.get("quantized", False))
+        self.mode = str(
+            self._f.attrs.get("mode", "q8" if self.quantized else "f32")
+        )
+        self.factored = self.mode == "q8f"
+        if self.factored:
+            self._trk_off = np.asarray(self._f["trk_offsets"][:])
         self.num_objects = int(self._f.attrs["num_objects"])
         self.num_predicates = int(self._f.attrs["num_predicates"])
         self.signatures = [
@@ -216,6 +246,10 @@ class ConsolidatedStore:
         assert n_tid == n_all
         if self.quantized:
             out["q8_scales"] = np.asarray(self._f["q8_scales"][lo:hi])
+        if self.factored:
+            t0, t1 = self._trk_off[k], self._trk_off[k + 1]
+            out["trk_feats"] = np.asarray(self._f["trk_feats"][t0:t1])
+            out["trk_scales"] = np.asarray(self._f["trk_scales"][t0:t1])
         return out
 
 
@@ -242,6 +276,7 @@ class ConsolidatedSegmentDataset:
         self.cfg = cfg
         self.store = ConsolidatedStore(store_path)
         self.quantized = self.store.quantized
+        self.factored = self.store.factored
         self.num_predicates = self.store.num_predicates
         self.num_objects = self.store.num_objects
         assert self.num_predicates == cfg.PREDICT.PREDICATE_NUM, (
@@ -279,4 +314,6 @@ class ConsolidatedSegmentDataset:
             iou=rec["iou"],
             trackid=rec["trackid"].astype(np.int64),
             q8_scales=rec.get("q8_scales"),
+            trk_feats=rec.get("trk_feats"),
+            trk_scales=rec.get("trk_scales"),
         )

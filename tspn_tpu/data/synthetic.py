@@ -256,11 +256,14 @@ def _write_one_segment(
     feats = np.zeros((pairs.shape[0], layout.dim), dtype=np.float32)
     feats[:, :c] = classemes[pairs[:, 0]]
     feats[:, c : 2 * c] = classemes[pairs[:, 1]]
-    # sparse BoW-ish noise in the motion blocks
-    bow_width = layout.rel_start - layout.bow_start
-    feats[:, layout.bow_start : layout.rel_start] = (
-        rng.rand(pairs.shape[0], bow_width) < 0.002
-    ).astype(np.float32)
+    # sparse BoW-ish noise in the motion blocks, PER TRACKLET and
+    # expanded into pair rows — real artifacts are built that way (each
+    # role's 4x1000 blocks describe one tracklet, vrdataset.py:219-242),
+    # which is also what the factored q8f store relies on
+    bow_half = layout.num_bow_blocks // 2 * layout.bow_block_size
+    trk_bow = (rng.rand(n + m, bow_half) < 0.002).astype(np.float32)
+    feats[:, layout.bow_start : layout.bow_start + bow_half] = trk_bow[pairs[:, 0]]
+    feats[:, layout.bow_start + bow_half : layout.rel_start] = trk_bow[pairs[:, 1]]
     # relative-position block carries the predicate signal
     for row, (i, j) in enumerate(pairs):
         preds = active.get((tid_of[i], tid_of[j]), ())

@@ -33,6 +33,10 @@ class Trajectory:
     classeme: Optional[Sequence[float]] = None
     vsig: Optional[str] = None
     gt_trackid: int = -1
+    # optional learned appearance embedding (models/reid) — consumed by
+    # features/extraction when FEATURES.APPEARANCE == "learned"; not
+    # serialized into traj_cls JSON (a derived, regenerable quantity)
+    appearance: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.rois = np.asarray(self.rois, dtype=np.float64).reshape(-1, 4)

@@ -61,6 +61,11 @@ class SegmentRecord:
     # 8 x 1/L1(block)]; ops/pairwise.precompute_q8_scales) — set iff
     # feats are int8 device-layout rows
     q8_scales: np.ndarray = None
+    # q8f (factored) mode: per-tracklet int8 descriptors + scales
+    # (ops/pairwise.factor_tracklet_features_q8); feats then hold only
+    # the per-pair RELATIVE rows (P, rel_pad) and q8_scales their scales
+    trk_feats: np.ndarray = None
+    trk_scales: np.ndarray = None
 
 
 class SegmentDataset:
@@ -292,6 +297,14 @@ def pad_record(
         feat_scale = np.zeros((p_max, 16), dtype=np.float32)
         feat_scale[:p] = record.q8_scales[keep][:p]
         out["feat_scale"] = feat_scale
+    if record.trk_feats is not None:
+        td = record.trk_feats.shape[1]
+        trk = np.zeros((n_bucket, td), dtype=np.int8)
+        trk[:n] = record.trk_feats[:n]
+        trk_s = np.zeros((n_bucket, 16), dtype=np.float32)
+        trk_s[:n] = record.trk_scales[:n]
+        out["trk_feats"] = trk
+        out["trk_scales"] = trk_s
     return out
 
 

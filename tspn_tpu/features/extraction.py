@@ -97,9 +97,39 @@ def _box_stats(boxes: jnp.ndarray):
     return cx, cy, w, h
 
 
-def tracklet_motion_bow(boxes: jnp.ndarray, image_wh=(1.0, 1.0)) -> jnp.ndarray:
-    """(N, T, 4) -> (N, 4000): shape / velocity / acceleration / scale
-    blocks (the per-tracklet 4 x 1000 BoW slots)."""
+def appearance_to_block(emb: jnp.ndarray) -> jnp.ndarray:
+    """(N, E) learned embedding -> (N, 1000) L1-normalized nonnegative
+    block fitting a BoW slot: sign-split (relu(e) | relu(-e)) keeps the
+    full signal under the pipeline's abs/L1 normalization, tiled/truncated
+    to the 1000-wide slot."""
+    x = jnp.concatenate([jax.nn.relu(emb), jax.nn.relu(-emb)], axis=-1)
+    e2 = x.shape[-1]
+    if e2 >= BLOCK:
+        block = x[..., :BLOCK]
+    else:
+        reps = BLOCK // e2
+        pad = BLOCK - reps * e2
+        block = jnp.concatenate(
+            [jnp.tile(x, (1,) * (x.ndim - 1) + (reps,)), x[..., :pad]], axis=-1
+        )
+    denom = jnp.clip(jnp.sum(jnp.abs(block), axis=-1, keepdims=True), 1e-12)
+    return block / denom
+
+
+def tracklet_motion_bow(
+    boxes: jnp.ndarray, image_wh=(1.0, 1.0),
+    appearance: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(N, T, 4) -> (N, 4000): the per-tracklet 4 x 1000 BoW slots.
+
+    Geometric mode (appearance=None): shape / velocity / acceleration /
+    scale blocks. Learned mode: the scale block (the least informative —
+    aspect is already in the shape block) is replaced by the appearance
+    embedding (models/reid or detector RoI features), mirroring the
+    reference's 1-geometric + visual-descriptor split
+    (TrajectoryShape + HoG/HoF/MBH, vrdataset.py:219-242). Layout and
+    normalization contract are identical either way.
+    """
     iw, ih = image_wh
     cx, cy, w, h = _box_stats(boxes)
     cx, cy = cx / iw * 2 - 1, cy / ih * 2 - 1
@@ -113,9 +143,12 @@ def tracklet_motion_bow(boxes: jnp.ndarray, image_wh=(1.0, 1.0)) -> jnp.ndarray:
     shape_block = _block_of([cx, cy, aspect, diag * 2 - 1])
     vel_block = _block_of([jnp.tanh(vx * 20), jnp.tanh(vy * 20)])
     acc_block = _block_of([jnp.tanh(ax * 40), jnp.tanh(ay * 40)])
-    scale_block = _block_of([jnp.tanh(dscale * 20), aspect])
+    if appearance is not None:
+        last_block = appearance_to_block(appearance)
+    else:
+        last_block = _block_of([jnp.tanh(dscale * 20), aspect])
     return jnp.concatenate(
-        [shape_block, vel_block, acc_block, scale_block], axis=-1
+        [shape_block, vel_block, acc_block, last_block], axis=-1
     )
 
 
@@ -144,10 +177,13 @@ def assemble_pair_features(
     classemes: jnp.ndarray,  # (N, C) class logits (C = object-vocab width)
     pairs: jnp.ndarray,      # (P, 2) ordered pair indices
     image_wh: tuple = (1.0, 1.0),
+    appearance: Optional[jnp.ndarray] = None,  # (N, E) learned embeddings
 ) -> jnp.ndarray:
     """-> (P, 2C + 11000) in the reference feature layout, on device
-    (C=35 gives the reference's 11070-d VidVRD layout)."""
-    motion = tracklet_motion_bow(boxes, image_wh)  # (N, 4000)
+    (C=35 gives the reference's 11070-d VidVRD layout). With
+    `appearance`, per-tracklet learned embeddings fill the last BoW slot
+    (see tracklet_motion_bow)."""
+    motion = tracklet_motion_bow(boxes, image_wh, appearance=appearance)
     sub, obj = pairs[:, 0], pairs[:, 1]
     rel = pair_relative_bow(boxes[sub], boxes[obj])  # (P, 3000)
     feats = jnp.concatenate(
@@ -166,11 +202,14 @@ def extract_segment_artifacts(
     gt_trajs: Optional[List[Trajectory]] = None,
     image_wh: tuple = (1.0, 1.0),
     num_objects: int = 35,
+    appearance: Optional[np.ndarray] = None,  # (N_prop + N_gt, E)
 ) -> Optional[SegmentFeatures]:
     """Compute + persist one segment's relation h5 (features/pairs/iou/
     trackid) from tracklets; GT tracklets (with gt_trackid set) are
     appended after proposals exactly like the consumed layout
-    (predict.py:131-160's N+GT convention)."""
+    (predict.py:131-160's N+GT convention). `appearance` (per-tracklet
+    learned embeddings, e.g. models/reid over box patches) fills the
+    last per-tracklet BoW slot when given."""
     gt_trajs = gt_trajs or []
     all_trajs = list(proposal_trajs) + list(gt_trajs)
     n_all = len(all_trajs)
@@ -190,6 +229,10 @@ def extract_segment_artifacts(
             jnp.asarray(classemes),
             jnp.asarray(pairs),
             image_wh=image_wh,
+            appearance=(
+                None if appearance is None
+                else jnp.asarray(appearance, jnp.float32)
+            ),
         ),
         np.float32,
     )

@@ -30,6 +30,7 @@ parity tests and as the fallback.
 from __future__ import annotations
 
 from functools import lru_cache, partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -538,6 +539,322 @@ def normalize_classify_q8i8_pallas(
         interpret=jax.default_backend() == "cpu",
     )(x, sp, wp, swp, bp)
     return out[:p, :r]
+
+
+# ---------------------------------------------------- factored feature path
+# Round-3 roofline finding (DESIGN.md §7): every dense kernel variant —
+# row-major, transposed, any MXU shape — pins at the chip's achieved HBM
+# streaming rate (~460 GB/s here; XLA's own reductions measure 320-380),
+# so pairs/s is set by BYTES PER PAIR, full stop. The expanded (P, D)
+# pair matrix is massively redundant: of the 11070-d row for pair (i, j),
+# the classeme and the 8 BoW blocks depend on ONE tracklet each and are
+# duplicated across the (N-1) pairs sharing it — only the 3000-d
+# relative block is pair-specific (vrdataset.py:219-242's own layout).
+# Factoring the linear classifier across blocks,
+#
+#   y(i,j) = A_sub[i] + A_obj[j] + rel(i,j) @ W_rel + b
+#   A_sub[n] = cls[n] @ W_scls * s_cls[n] + sum_k norm(bow_k[n]) @ W_sbow_k
+#   A_obj[n] =   (same features, object-role weights)
+#
+# is EXACT (same math, same int8 tier) and cuts the per-pair stream from
+# 11264 B to 3072 B + O(1/N) amortized tracklet bytes — the only >1.5x
+# lever left on this memory system. Both passes reuse the q8s kernel
+# with duck-typed block geometries.
+
+class BlockGeom(NamedTuple):
+    """Minimal hashable geometry for the q8s kernel family: a head slab
+    of ``dev_head_pad`` columns followed by ``num_bow_blocks`` L1 blocks
+    of ``dev_block`` columns (duck-types FeatureLayout's fields)."""
+
+    dev_head_pad: int
+    num_bow_blocks: int = 0
+    dev_block: int = 1024
+
+    @property
+    def device_dim(self) -> int:
+        return self.dev_head_pad + self.num_bow_blocks * self.dev_block
+
+
+def tracklet_geom(layout: FeatureLayout = DEFAULT_LAYOUT) -> BlockGeom:
+    """Per-tracklet factored rows: [classeme C | pad to 128 | 4 x 1024]."""
+    return BlockGeom(
+        dev_head_pad=_round_up(layout.classeme_dim, 128),
+        num_bow_blocks=layout.num_bow_blocks // 2,
+        dev_block=layout.dev_block,
+    )
+
+
+def rel_geom(layout: FeatureLayout = DEFAULT_LAYOUT) -> BlockGeom:
+    """Per-pair factored rows: [relative 3000 | pad to 3072], no blocks."""
+    return BlockGeom(dev_head_pad=_round_up(layout.rel_dim, 128))
+
+
+def factor_tracklet_features_q8(
+    classemes: np.ndarray,  # (N, C) float
+    motion_bow: np.ndarray,  # (N, 4 * 1000) float (one role's BoW blocks)
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> tuple:
+    """-> (q (N, trk_dim) int8, scales (N, 16) f32): col 0 = classeme
+    dequant scale, cols 1..4 = 1/L1 of each quantized BoW block."""
+    geom = tracklet_geom(layout)
+    n = classemes.shape[0]
+    c = layout.classeme_dim
+    bs = layout.bow_block_size
+    q = np.zeros((n, geom.device_dim), np.int8)
+    scales = np.zeros((n, 16), np.float32)
+
+    cmax = np.max(np.abs(classemes), axis=-1)
+    cscale = np.where(cmax > 0, cmax / 127.0, 1.0).astype(np.float32)
+    q[:, :c] = np.clip(
+        np.rint(classemes / cscale[:, None]), -127, 127
+    ).astype(np.int8)
+    scales[:, 0] = cscale
+
+    bow = np.asarray(motion_bow, np.float32).reshape(n, geom.num_bow_blocks, bs)
+    bmax = np.max(np.abs(bow), axis=-1, keepdims=True)
+    bscale = np.where(bmax > 0, bmax / 127.0, 1.0)
+    qb = np.clip(np.rint(bow / bscale), -127, 127).astype(np.int8)
+    for k in range(geom.num_bow_blocks):
+        lo = geom.dev_head_pad + k * geom.dev_block
+        q[:, lo : lo + bs] = qb[:, k]
+    denom = np.abs(qb.astype(np.int32)).sum(axis=-1).astype(np.float32)
+    scales[:, 1 : 1 + geom.num_bow_blocks] = 1.0 / np.where(denom > 0, denom, 1.0)
+    return q, scales
+
+
+def factor_rel_features_q8(
+    rel: np.ndarray, layout: FeatureLayout = DEFAULT_LAYOUT
+) -> tuple:
+    """(P, 3000) float -> (q (P, 3072) int8, scales (P, 16) f32 col 0)."""
+    geom = rel_geom(layout)
+    p = rel.shape[0]
+    q = np.zeros((p, geom.device_dim), np.int8)
+    rmax = np.max(np.abs(rel), axis=-1)
+    rscale = np.where(rmax > 0, rmax / 127.0, 1.0).astype(np.float32)
+    q[:, : layout.rel_dim] = np.clip(
+        np.rint(rel / rscale[:, None]), -127, 127
+    ).astype(np.int8)
+    scales = np.zeros((p, 16), np.float32)
+    scales[:, 0] = rscale
+    return q, scales
+
+
+def factor_expanded_rows_q8(
+    feats: np.ndarray,   # (P, dim) expanded storage rows
+    pairs: np.ndarray,   # (P, 2) tracklet indices
+    num_tracklets: int,
+    layout: FeatureLayout = None,
+) -> tuple:
+    """Factor EXPANDED h5 rows (the reference artifact format) into the
+    per-tracklet + per-pair q8 representation. Tracklet n's descriptors
+    are taken from its first row as subject (and as object for tracklets
+    that never appear as subject). Returns
+    (trk_q, trk_scales, rel_q, rel_scales)."""
+    if layout is None:
+        layout = FeatureLayout.from_dim(feats.shape[-1])
+    c = layout.classeme_dim
+    n = num_tracklets
+    cls = np.zeros((n, c), np.float32)
+    bow = np.zeros((n, layout.num_bow_blocks // 2 * layout.bow_block_size),
+                   np.float32)
+    half = layout.num_bow_blocks // 2 * layout.bow_block_size
+    seen = np.zeros(n, bool)
+    for r in range(feats.shape[0]):
+        i, j = int(pairs[r, 0]), int(pairs[r, 1])
+        if not seen[i]:
+            cls[i] = feats[r, :c]
+            bow[i] = feats[r, layout.bow_start : layout.bow_start + half]
+            seen[i] = True
+        if not seen[j]:
+            cls[j] = feats[r, c : 2 * c]
+            bow[j] = feats[r, layout.bow_start + half : layout.rel_start]
+            seen[j] = True
+    trk_q, trk_scales = factor_tracklet_features_q8(cls, bow, layout)
+    rel_q, rel_scales = factor_rel_features_q8(
+        feats[:, layout.rel_start :], layout
+    )
+    return trk_q, trk_scales, rel_q, rel_scales
+
+
+def split_weights_factored(
+    w: np.ndarray,  # (dim, R) storage-layout weights
+    layout: FeatureLayout = None,
+) -> dict:
+    """Split + per-column-quantize the classifier for the factored path:
+    returns {"qw_trk" (trk_dim, 2R), "sw_trk" (2R,),
+             "qw_rel" (rel_pad, R), "sw_rel" (R,)} with the subject role
+    in output columns [0, R) and the object role in [R, 2R)."""
+    if layout is None:
+        layout = FeatureLayout.from_dim(w.shape[0])
+    c = layout.classeme_dim
+    bs = layout.bow_block_size
+    half_blocks = layout.num_bow_blocks // 2
+    geom_t = tracklet_geom(layout)
+    r = w.shape[1]
+
+    w_trk = np.zeros((geom_t.device_dim, 2 * r), np.float32)
+    w_trk[:c, :r] = w[:c]                 # subject classeme
+    w_trk[:c, r:] = w[c : 2 * c]          # object classeme
+    for k in range(half_blocks):
+        lo = geom_t.dev_head_pad + k * geom_t.dev_block
+        src_sub = layout.bow_start + k * bs
+        src_obj = layout.bow_start + (half_blocks + k) * bs
+        w_trk[lo : lo + bs, :r] = w[src_sub : src_sub + bs]
+        w_trk[lo : lo + bs, r:] = w[src_obj : src_obj + bs]
+
+    geom_r = rel_geom(layout)
+    w_rel = np.zeros((geom_r.device_dim, r), np.float32)
+    w_rel[: layout.rel_dim] = w[layout.rel_start :]
+
+    qw_trk, sw_trk = quantize_weights_percol(w_trk)
+    qw_rel, sw_rel = quantize_weights_percol(w_rel)
+    return {
+        "qw_trk": qw_trk, "sw_trk": sw_trk,
+        "qw_rel": qw_rel, "sw_rel": sw_rel,
+    }
+
+
+def tracklet_logits_q8(
+    trk_q: jnp.ndarray, trk_scales: jnp.ndarray,
+    qw_trk: jnp.ndarray, sw_trk: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+    row_tile: int = 128,
+) -> jnp.ndarray:
+    """(N, trk_dim) int8 -> (N, 2R) f32 partial logits [A_sub | A_obj]
+    through the q8s kernel over the tracklet geometry."""
+    r2 = qw_trk.shape[1]
+    return normalize_classify_q8s_pallas(
+        trk_q, trk_scales, qw_trk, sw_trk, jnp.zeros((r2,), jnp.float32),
+        row_tile=row_tile, layout=tracklet_geom(layout),
+    )
+
+
+def rel_logits_q8(
+    rel_q: jnp.ndarray, rel_scales: jnp.ndarray,
+    qw_rel: jnp.ndarray, sw_rel: jnp.ndarray, b: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+    row_tile: int = 1024,
+) -> jnp.ndarray:
+    """(P, 3072) int8 -> (P, R) f32 rel-block logits + bias."""
+    return normalize_classify_q8s_pallas(
+        rel_q, rel_scales, qw_rel, sw_rel, b,
+        row_tile=row_tile, layout=rel_geom(layout),
+    )
+
+
+def factored_classify_q8(
+    trk_q: jnp.ndarray, trk_scales: jnp.ndarray,
+    rel_q: jnp.ndarray, rel_scales: jnp.ndarray,
+    pairs: jnp.ndarray,  # (P, 2) int
+    wq: dict, b: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """Full factored scoring for ARBITRARY pair lists: -> (P, R) f32
+    logits. The A-table lookup is a one-hot matmul — XLA's row gather
+    scalarizes on TPU (measured ~100x slower than the matmul form).
+    For bucketed canonical pairs use factored_classify_q8_bucketed."""
+    r = wq["qw_rel"].shape[1]
+    n = trk_q.shape[0]
+    a = tracklet_logits_q8(
+        trk_q, trk_scales, wq["qw_trk"], wq["sw_trk"], layout=layout
+    )
+    y = rel_logits_q8(
+        rel_q, rel_scales, wq["qw_rel"], wq["sw_rel"], b, layout=layout
+    )
+    sel_sub = jax.nn.one_hot(pairs[:, 0], n, dtype=y.dtype)  # (P, N)
+    sel_obj = jax.nn.one_hot(pairs[:, 1], n, dtype=y.dtype)
+    return y + sel_sub @ a[:, :r] + sel_obj @ a[:, r:]
+
+
+@partial(jax.jit, static_argnames=("layout",))
+def factored_classify_q8_batched(
+    trk_q: jnp.ndarray,      # (B, N, trk_dim) int8
+    trk_scales: jnp.ndarray,  # (B, N, 16) f32
+    rel_q: jnp.ndarray,      # (B, P, rel_pad) int8
+    rel_scales: jnp.ndarray,  # (B, P, 16) f32
+    pairs: jnp.ndarray,      # (B, P, 2) int — tracklet indices per rel row
+    wq: dict,
+    b: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """Factored scoring for PADDED segment batches with explicit pair
+    indices (the predict-path contract: prefix-padded rel rows, pairs
+    mapping each row to its tracklets): -> (B, P, R) f32 logits.
+
+    The A-table expansion is a batched one-hot matmul built from `pairs`
+    on device — XLA's native row gather scalarizes on TPU.
+    """
+    bsz, n, _ = trk_q.shape
+    p = rel_q.shape[1]
+    r = wq["qw_rel"].shape[1]
+    a = tracklet_logits_q8(
+        trk_q.reshape(bsz * n, -1), trk_scales.reshape(bsz * n, -1),
+        wq["qw_trk"], wq["sw_trk"], layout=layout,
+    ).reshape(bsz, n, 2 * r)
+    y = rel_logits_q8(
+        rel_q.reshape(bsz * p, -1), rel_scales.reshape(bsz * p, -1),
+        wq["qw_rel"], wq["sw_rel"], b, layout=layout,
+    ).reshape(bsz, p, r)
+    sel_s = jax.nn.one_hot(pairs[..., 0], n, dtype=y.dtype)  # (B, P, N)
+    sel_o = jax.nn.one_hot(pairs[..., 1], n, dtype=y.dtype)
+    return (
+        y
+        + jnp.einsum("bpn,bnr->bpr", sel_s, a[..., :r])
+        + jnp.einsum("bpn,bnr->bpr", sel_o, a[..., r:])
+    )
+
+
+@lru_cache(maxsize=None)
+def _pair_selectors(num_tracklets: int) -> tuple:
+    """Constant one-hot (P_seg, N) subject/object selectors for the
+    canonical subject-major pair enumeration (enumerate_ordered_pairs)."""
+    n = num_tracklets
+    idx = np.arange(n)
+    sub = np.repeat(idx, n - 1)
+    obj = np.concatenate([np.delete(idx, i) for i in range(n)])
+    p = n * (n - 1)
+    sel_s = np.zeros((p, n), np.float32)
+    sel_o = np.zeros((p, n), np.float32)
+    sel_s[np.arange(p), sub] = 1.0
+    sel_o[np.arange(p), obj] = 1.0
+    return sel_s, sel_o
+
+
+@partial(jax.jit, static_argnames=("num_tracklets", "layout"))
+def factored_classify_q8_bucketed(
+    trk_q: jnp.ndarray,      # (B * N, trk_dim) int8
+    trk_scales: jnp.ndarray,  # (B * N, 16) f32
+    rel_q: jnp.ndarray,      # (B * P_seg, rel_pad) int8, canonical pair order
+    rel_scales: jnp.ndarray,  # (B * P_seg, 16) f32
+    wq: dict,
+    b: jnp.ndarray,
+    num_tracklets: int,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """Factored scoring for BUCKETED segments (fixed N tracklets, pairs
+    in canonical subject-major order): -> (B, P_seg, R) f32 logits.
+
+    The per-segment A-table expansion is a batched matmul against a
+    constant one-hot selector — no gathers anywhere; XLA fuses the adds
+    into the matmul epilogue.
+    """
+    n = num_tracklets
+    r = wq["qw_rel"].shape[1]
+    bsz = trk_q.shape[0] // n
+    p_seg = n * (n - 1)
+    a = tracklet_logits_q8(
+        trk_q, trk_scales, wq["qw_trk"], wq["sw_trk"], layout=layout
+    ).reshape(bsz, n, 2 * r)
+    y = rel_logits_q8(
+        rel_q, rel_scales, wq["qw_rel"], wq["sw_rel"], b, layout=layout
+    ).reshape(bsz, p_seg, r)
+    sel_s, sel_o = _pair_selectors(n)
+    sel_s, sel_o = jnp.asarray(sel_s), jnp.asarray(sel_o)
+    return (
+        y
+        + jnp.einsum("pn,bnr->bpr", sel_s, a[..., :r])
+        + jnp.einsum("pn,bnr->bpr", sel_o, a[..., r:])
+    )
 
 
 # ------------------------------------------------- transposed int8 MXU path

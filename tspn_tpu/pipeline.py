@@ -102,18 +102,25 @@ def _segment_tracklets(
     fstart: int,
     fend: int,
     min_coverage: float = 1.0,
+    appearance_per_frame: Optional[np.ndarray] = None,  # (T, K, E)
 ) -> List[Trajectory]:
     """Cut whole-video tracks into segment tracklets.
 
     Tracks present in at least min_coverage of the segment's frames are
     kept; frames where the track is invisible are filled by holding the
     nearest visible box (the tracklet must still span the full segment
-    for the pair-feature layout).
+    for the pair-feature layout). With appearance_per_frame, each
+    tracklet also carries its mean learned embedding (Trajectory
+    .appearance) for the learned feature path.
     """
     tlwh = track_out["tlwh"][fstart:fend]          # (S, K, 4)
     ids = track_out["track_id"][fstart:fend]       # (S, K)
     visible = track_out["visible"][fstart:fend]    # (S, K)
     classemes = classemes_per_frame[fstart:fend]
+    apps = (
+        appearance_per_frame[fstart:fend]
+        if appearance_per_frame is not None else None
+    )
     s = fend - fstart
     trajs = []
     for tid in np.unique(ids[visible]):
@@ -124,6 +131,7 @@ def _segment_tracklets(
         boxes = np.zeros((s, 4))
         seen = np.zeros(s, bool)
         cls_acc = None
+        app_acc = None
         for f in range(s):
             slots = np.flatnonzero(present[f])
             if len(slots) == 0:
@@ -134,6 +142,9 @@ def _segment_tracklets(
             seen[f] = True
             c = classemes[f, k]
             cls_acc = c if cls_acc is None else cls_acc + c
+            if apps is not None:
+                a = apps[f, k]
+                app_acc = a if app_acc is None else app_acc + a
         # hold the nearest visible box across gaps
         last = None
         for f in range(s):
@@ -149,6 +160,10 @@ def _segment_tracklets(
                 pstart=0, pend=s, rois=boxes, score=1.0,
                 category=int(np.argmax(classeme)), classeme=classeme,
                 gt_trackid=-1,
+                appearance=(
+                    None if app_acc is None
+                    else np.asarray(app_acc / frames_seen, np.float32)
+                ),
             )
         )
     return trajs
@@ -187,14 +202,21 @@ def extract_video_artifacts(
     classemes_per_frame: np.ndarray,
     include_gt: bool = True,
     num_classes: int = 35,
+    appearance_per_frame: Optional[np.ndarray] = None,
 ) -> int:
     """Write traj_cls JSON + relation h5 for every segment of one video.
-    Returns the number of segments written."""
+    Returns the number of segments written. With appearance_per_frame
+    (T, K, E learned embeddings per track slot), features use the
+    learned appearance block (GT tracklets carry zero embeddings — they
+    exist for label matching, not scoring)."""
     anno = dataset.get_anno(vid)
     image_wh = (float(anno["width"]), float(anno["height"]))
     written = 0
     for fstart, fend in segment_video(0, anno["frame_count"]):
-        props = _segment_tracklets(track_out, classemes_per_frame, fstart, fend)
+        props = _segment_tracklets(
+            track_out, classemes_per_frame, fstart, fend,
+            appearance_per_frame=appearance_per_frame,
+        )
         if len(props) < 2:
             continue
         save_trajectory_proposals(props, vid, fstart, fend, gt=False)
@@ -203,9 +225,19 @@ def extract_video_artifacts(
             if include_gt
             else []
         )
+        appearance = None
+        if appearance_per_frame is not None:
+            e = appearance_per_frame.shape[-1]
+            appearance = np.stack(
+                [
+                    np.asarray(t.appearance, np.float32)
+                    if t.appearance is not None else np.zeros(e, np.float32)
+                    for t in props + gts
+                ]
+            )
         seg = extract_segment_artifacts(
             vid, fstart, fend, props, gts, image_wh=image_wh,
-            num_objects=num_classes,
+            num_objects=num_classes, appearance=appearance,
         )
         written += seg is not None
     return written

@@ -93,6 +93,45 @@ def _q8_classifier_weights(cfg, params):
     return jnp.asarray(qw), jnp.asarray(sw), jnp.asarray(b), layout
 
 
+def _q8f_classifier_weights(cfg, params):
+    """Factored-path weights (ops/pairwise.split_weights_factored) from a
+    model trained either way; fused device-layout kernels are inverted
+    back to the storage layout first."""
+    from tspn_tpu.data.feature_store import FeatureLayout
+    from tspn_tpu.ops.pairwise import _permutation, split_weights_factored
+
+    layout = FeatureLayout.for_objects(cfg.PREDICT.OBJECT_NUM)
+    cls = params["classifier"]
+    if cfg.MODEL.get("FUSED_CLASSIFIER", False):
+        w_dev, b = np.asarray(cls["kernel"]), np.asarray(cls["bias"])
+        perm = _permutation(layout)
+        valid = perm >= 0
+        w = np.zeros((layout.dim, w_dev.shape[1]), np.float32)
+        w[perm[valid]] = w_dev[valid]
+    else:
+        w = np.asarray(cls["rel_predictor"]["kernel"])
+        b = np.asarray(cls["rel_predictor"]["bias"])
+    wq = {k: jnp.asarray(v) for k, v in split_weights_factored(w, layout).items()}
+    return wq, jnp.asarray(b), layout
+
+
+def _make_q8f_scorer(q8f_weights):
+    """Factored scorer: trk descriptors + rel rows + pairs -> (B, P, R)
+    logits (ops/pairwise.factored_classify_q8_batched)."""
+    wq, b, layout = q8f_weights
+
+    def score(batch):
+        from tspn_tpu.ops.pairwise import factored_classify_q8_batched
+
+        return factored_classify_q8_batched(
+            batch["trk_feats"], batch["trk_scales"],
+            batch["feats"], batch["feat_scale"],
+            batch["pairs"], wq, b, layout=layout,
+        )
+
+    return score
+
+
 def _make_q8_scorer(q8_weights):
     """(B, P, D) int8 + (B, P, 16) precomputed scales -> (B, P, R)
     logits through the scales-precomputed int8 x int8 kernel (Pallas on
@@ -128,6 +167,7 @@ def _make_batched_infer(
     num_pair_proposals: int = 0,
     fuse_ppn_score: bool = False,
     q8_weights=None,
+    q8f_weights=None,
     mesh=None,
     data_axis: str = "data",
 ):
@@ -156,10 +196,21 @@ def _make_batched_infer(
     back sharded. Requires batch_size % mesh.size == 0.
     """
     q8_score = _make_q8_scorer(q8_weights) if q8_weights is not None else None
+    q8f_score = (
+        _make_q8f_scorer(q8f_weights) if q8f_weights is not None else None
+    )
+    if q8f_score is not None and num_pair_proposals > 0:
+        raise NotImplementedError(
+            "PPN inference pruning over a factored (q8f) store is not "
+            "supported — prune operates on full pair-feature rows; use "
+            "CONSOLIDATED='q8' with PRUNE_AT_INFERENCE"
+        )
 
     def infer_impl(params, batch):
         if num_pair_proposals <= 0:
-            if q8_score is not None:
+            if q8f_score is not None:
+                rel_prob = jax.nn.sigmoid(q8f_score(batch))
+            elif q8_score is not None:
                 rel_prob = jax.nn.sigmoid(
                     q8_score(batch["feats"], batch["feat_scale"])
                 )
@@ -268,13 +319,18 @@ def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
             f"evenly over the {mesh.size}-device mesh"
         )
 
+    factored = bool(getattr(dataset, "factored", False))
     infer = _make_batched_infer(
         model,
         topk_per_pair,
         topk_per_seg,
         num_pair_proposals=cfg.RELPN.PPN.NUM_PAIR_PROPOSALS if prune else 0,
         fuse_ppn_score=bool(cfg.RELPN.PPN.get("FUSE_SCORE", False)),
-        q8_weights=_q8_classifier_weights(cfg, params) if quantized else None,
+        q8_weights=(
+            _q8_classifier_weights(cfg, params)
+            if quantized and not factored else None
+        ),
+        q8f_weights=_q8f_classifier_weights(cfg, params) if factored else None,
         mesh=mesh,
         data_axis=cfg.MESH.DATA_AXIS,
     )
