@@ -238,7 +238,7 @@ def bench_e2e():
     )
     from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
     from tspn_tpu.models.tspn import build_model
-    from tspn_tpu.runtime.predict import predict_segments
+    from tspn_tpu.runtime.predict import build_infer, predict_segments
 
     work = tempfile.mkdtemp(prefix="tspn_bench_e2e_")
     try:
@@ -278,23 +278,33 @@ def bench_e2e():
         }
         params0 = model.init(jax.random.PRNGKey(0), example)["params"]
 
-        def perturbed(i):
-            # unique dispatch content per repeat (tunnel memoizes
-            # repeated identical dispatches) via a tiny classifier scale
-            return jax.tree_util.tree_map(
-                lambda x: x * (1.0 + 1e-6 * i), params0
-            )
-
         def run_leg(make_dataset, cfg_leg, repeats=3):
+            """Scored portion: one traced program per leg (trace/compile
+            = startup, excluded per the e2e metric definition); each
+            repeat's dispatches carry unique content via a cls_logits
+            epsilon (the tunnel memoizes repeated identical dispatches)."""
+            ds0 = make_dataset()
+            infer = build_infer(cfg_leg, model, params0, ds0)
+            rep = [0]
+
+            def hook(batch):
+                b = dict(batch)
+                b["cls_logits"] = b["cls_logits"] + 1e-7 * rep[0]
+                return b
+
+            predict_segments(  # warm pass: traces + compiles + warms IO
+                cfg_leg, model, params0, ds0, infer=infer, batch_hook=hook
+            )
             times, n_segs = [], 0
-            for i in range(repeats + 1):  # first pass warms compile + IO
+            for i in range(repeats):
+                rep[0] = i + 1
                 ds = make_dataset()
                 t0 = time.perf_counter()
-                out = predict_segments(cfg_leg, model, perturbed(i), ds)
-                dt = time.perf_counter() - t0
+                out = predict_segments(
+                    cfg_leg, model, params0, ds, infer=infer, batch_hook=hook
+                )
+                times.append(time.perf_counter() - t0)
                 n_segs = len(out)
-                if i > 0:
-                    times.append(dt)
             return n_segs / float(np.median(times)), n_segs
 
         cfg_q8f = cfg.clone()

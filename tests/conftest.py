@@ -8,6 +8,10 @@ sees 8 'devices' on plain CPU.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the persistent XLA compilation cache (tspn_tpu/__init__) exists for the
+# ~6-min remote TPU compiles; CPU AOT artifacts are machine-feature
+# sensitive (SIGILL risk when flags drift) and compile in seconds anyway
+os.environ.setdefault("TSPN_NO_COMPILE_CACHE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

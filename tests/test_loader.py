@@ -113,3 +113,54 @@ def test_generate_track_videos_batch(tmp_path):
     assert [(s, n) for s, n, _ in rendered] == [("SEQ-01", 2), ("SEQ-02", 2)]
     img = np.asarray(Image.open(out / "SEQ-01" / "00001.jpg"))
     assert img.sum() > 0  # track overlay drawn
+
+
+def test_interactive_viewer_steps_and_controls(tmp_path):
+    """image_viewer.py-parity stepping loop: next/back/goto/quit through
+    injectable IO (VERDICT r2 item 8)."""
+    from PIL import Image
+
+    from tools.show_mot_results import interactive_view
+
+    seq = tmp_path / "seq" / "img1"
+    seq.mkdir(parents=True)
+    for f in range(1, 5):
+        Image.fromarray(np.zeros((40, 50, 3), np.uint8)).save(seq / f"{f:05d}.jpg")
+    result = tmp_path / "res.txt"
+    result.write_text("1,1,5,5,20,20,1,-1,-1,-1\n3,2,9,5,20,20,1,-1,-1,-1\n")
+
+    shown = []
+    cmds = iter(["", "b", "g 3", "q"])
+
+    n = interactive_view(
+        str(tmp_path / "seq"), str(result), str(tmp_path / "out"),
+        input_fn=lambda _prompt: next(cmds),
+        display_fn=lambda img, status: shown.append(status),
+    )
+    # frames visited: 1 (next->2), 2 (back->1), 1 (goto 3), 3 (quit)
+    assert n == 4
+    assert "[1/4]" in shown[0] and "1 tracks" in shown[0]
+    assert "[2/4]" in shown[1]
+    assert "[1/4]" in shown[2]
+    assert "[3/4]" in shown[3] and "1 tracks" in shown[3]
+
+
+def test_interactive_viewer_autoplay_and_file_mode(tmp_path):
+    """autoplay runs to the end; headless file mode writes current.png."""
+    from PIL import Image
+
+    from tools.show_mot_results import interactive_view
+
+    seq = tmp_path / "seq" / "img1"
+    seq.mkdir(parents=True)
+    for f in range(1, 4):
+        Image.fromarray(np.zeros((40, 50, 3), np.uint8)).save(seq / f"{f:05d}.jpg")
+    result = tmp_path / "res.txt"
+    result.write_text("1,1,5,5,20,20,1,-1,-1,-1\n")
+
+    n = interactive_view(
+        str(tmp_path / "seq"), str(result), str(tmp_path / "out"),
+        input_fn=lambda _prompt: "a",
+    )
+    assert n == 3  # frame 1 shown, then autoplay through 2 and 3
+    assert (tmp_path / "out" / "current.png").exists()

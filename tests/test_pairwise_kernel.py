@@ -114,3 +114,41 @@ def test_fused_custom_vjp_matches_autodiff(rng):
         np.asarray(normalize_classify_device(x, w, b)),
         atol=2e-3,
     )
+
+
+def test_nofeatgrad_vjp_matches_param_grads(rng):
+    """The training VJP (dW/db only) must match the differentiable XLA
+    path's parameter gradients exactly; its feature cotangent is zero by
+    contract (pair features are pipeline inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tspn_tpu.ops.pairwise import (
+        DEFAULT_LAYOUT,
+        normalize_classify_device,
+        normalize_classify_fused_nofeatgrad,
+        to_device_layout,
+    )
+
+    lo = DEFAULT_LAYOUT
+    p, r = 6, 5
+    feats = rng.randn(p, lo.dim).astype(np.float32)
+    x = jnp.asarray(to_device_layout(feats))
+    w = jnp.asarray((rng.randn(lo.device_dim, r) * 0.01).astype(np.float32))
+    b = jnp.asarray(rng.randn(r).astype(np.float32))
+    g = jnp.asarray(rng.randn(p, r).astype(np.float32))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(normalize_classify_device(x, w, b) * g)
+
+    def loss_fused(x, w, b):
+        return jnp.sum(normalize_classify_fused_nofeatgrad(x, w, b) * g)
+
+    dx_r, dw_r, db_r = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    dx_f, dw_f, db_f = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(np.asarray(dw_f), np.asarray(dw_r), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(db_f), np.asarray(db_r), rtol=2e-5, atol=1e-6)
+    assert float(jnp.abs(dx_f).max()) == 0.0
+    # and the reference dx is generally nonzero — the zero is a contract,
+    # not an accident of the data
+    assert float(jnp.abs(dx_r).max()) > 0.0

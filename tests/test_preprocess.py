@@ -217,6 +217,19 @@ def test_consolidated_q8f_predict_equivalence(cfg, synthetic_dataset, tmp_path):
     out_std = predict_segments(cfg, model, params, std)
     out_q8f = predict_segments(cfg, model, params, cons)
     assert set(out_std) == set(out_q8f)
+    # factored + SPMD: sharding the factored batches over the 8-device
+    # mesh must reproduce the single-device factored output exactly
+    cfg_sh = cfg.clone()
+    cfg_sh.PREDICT.SHARD_INFERENCE = True
+    cfg_sh.DATASET.TEST_BATCH_SIZE = 8
+    out_sh = predict_segments(cfg_sh, model, params, cons)
+    assert set(out_sh) == set(out_q8f)
+    for key in out_q8f:
+        p1, p8 = out_q8f[key][0], out_sh[key][0]
+        assert len(p1) == len(p8)
+        for (s1, t1, _i1), (s8, t8, _i8) in zip(p1[:10], p8[:10]):
+            assert abs(float(s1) - float(s8)) < 1e-5
+            np.testing.assert_array_equal(t1, t8)
     agree = 0
     for key in out_std:
         preds_s, iou_s, tid_s = out_std[key]

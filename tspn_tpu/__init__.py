@@ -30,11 +30,21 @@ import os as _os
 
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: the detector train step takes
-    ~6 min to compile over the tunneled dev TPU (CLAUDE.md); caching to
-    disk makes every re-run after the first warm. Opt out with
+    ~6 min to compile over a tunneled dev TPU; caching to disk makes
+    every re-run after the first warm. Opt out with
     TSPN_NO_COMPILE_CACHE=1; cache dir override via JAX_COMPILATION_CACHE_DIR.
+
+    On the experimental 'axon' remote-compile backend the cache is
+    OPT-IN (TSPN_COMPILE_CACHE=1): executable serialization through
+    that plugin was observed to hang specific programs (the fused
+    Pallas inference path) indefinitely.
     """
     if _os.environ.get("TSPN_NO_COMPILE_CACHE"):
+        return
+    if (
+        "axon" in _os.environ.get("JAX_PLATFORMS", "")
+        and not _os.environ.get("TSPN_COMPILE_CACHE")
+    ):
         return
     try:
         import jax

@@ -32,9 +32,10 @@ class RelationPredictor(nn.Module):
     num_predicates: int
     fused: bool = False
     # inference-built models route through the Pallas forward kernel on
-    # TPU (1.3-1.4x the XLA path); training keeps the XLA formulation —
-    # XLA's end-to-end autodiff beats the Pallas-forward custom VJP
-    # (measured 30 vs 58 ms/step at bucket 32, batch 8)
+    # TPU (1.3-1.4x the XLA path); fused TRAINING routes through the
+    # dW/db-only custom VJP (features are pipeline inputs — no gradient
+    # consumer), 4.5 ms/step at bucket 32 x batch 8 vs 58 for the
+    # general VJP and 2.6 for unfused XLA autodiff (DESIGN.md §6)
     inference: bool = False
     # object-vocabulary width: sets the fused device layout's classeme
     # slot (35 = VidVRD 11264-wide device layout, 80 = VidOR 11392)
@@ -65,11 +66,23 @@ class RelationPredictor(nn.Module):
             (layout.device_dim, self.num_predicates),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.num_predicates,))
-        if self.inference and jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu":
+            from tspn_tpu.ops.pairwise import normalize_classify_fused_nofeatgrad
+
             flat = feats.reshape(-1, layout.device_dim).astype(self.dtype)
-            out = normalize_classify_pallas(
-                flat, kernel.astype(self.dtype), bias, layout=layout
-            )
+            if self.inference:
+                out = normalize_classify_pallas(
+                    flat, kernel.astype(self.dtype), bias, layout=layout
+                )
+            else:
+                # training: Pallas forward + dW/db-only backward — the
+                # pair features are pipeline inputs with no gradient
+                # consumer, so the dx chain (the reason the general
+                # custom VJP measured 58 vs 30 ms/step in round 2) is
+                # skipped entirely
+                out = normalize_classify_fused_nofeatgrad(
+                    flat, kernel.astype(self.dtype), bias, layout=layout
+                )
             return out.reshape(*feats.shape[:-1], self.num_predicates)
         return normalize_classify_device(
             feats.astype(self.dtype), kernel.astype(self.dtype), bias,

@@ -199,6 +199,53 @@ def normalize_classify_fused(
     return _fused_for_layout(layout)(feats_dev, w_dev, b)
 
 
+@lru_cache(maxsize=None)
+def _fused_nofeatgrad_for_layout(layout: FeatureLayout):
+    """Training-oriented fused op: Pallas forward + a backward that
+    computes ONLY (dW, db).
+
+    The pair features are DATA-PIPELINE INPUTS — the classifier is the
+    first and only layer that touches them, so their cotangent has no
+    consumer in any training configuration. The general VJP's dx chain
+    (u = g @ W^T, a full (P, device_dim) intermediate, plus the per-
+    block quotient-rule algebra) is over half the backward's HBM
+    traffic; skipping it is what makes the fused training step
+    competitive with XLA end-to-end autodiff (DESIGN.md §6). The dx
+    returned is a structural zero; anything that DOES need feature
+    gradients must use normalize_classify_fused instead.
+    """
+
+    @jax.custom_vjp
+    def fused(feats_dev, w_dev, b):
+        return normalize_classify_pallas(feats_dev, w_dev, b, layout=layout)
+
+    def fwd(feats_dev, w_dev, b):
+        # zero-size dtype carrier: residuals must be JAX types
+        return fused(feats_dev, w_dev, b), (
+            feats_dev, jnp.zeros((0,), w_dev.dtype)
+        )
+
+    def bwd(residuals, g):
+        x, w_proto = residuals
+        g = g.astype(jnp.float32)
+        xn = _normalize_device_layout(x, layout).astype(jnp.float32)
+        dw = (xn.T @ g).astype(w_proto.dtype)
+        db = jnp.sum(g, axis=0).astype(w_proto.dtype)
+        return jnp.zeros_like(x), dw, db
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def normalize_classify_fused_nofeatgrad(
+    feats_dev: jnp.ndarray, w_dev: jnp.ndarray, b: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """Fused Pallas forward whose backward produces only dW/db (feature
+    cotangent is zero — see _fused_nofeatgrad_for_layout)."""
+    return _fused_nofeatgrad_for_layout(layout)(feats_dev, w_dev, b)
+
+
 # ------------------------------------------------------------ int8 features
 # The fused kernel is HBM-bound (see DESIGN.md §7): at the bf16 roofline
 # the remaining lever is narrower features. Two properties make int8

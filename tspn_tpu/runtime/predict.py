@@ -275,12 +275,56 @@ def _make_batched_infer(
     return jax.jit(sharded)
 
 
-def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
+def build_infer(cfg, model, params, dataset):
+    """Build the jitted batched-inference program for predict_segments.
+
+    Exposed so callers that invoke predict_segments repeatedly (the
+    bench's e2e leg, eval sweeps) can reuse one traced program instead
+    of re-tracing per call — pass the result as `infer=`."""
+    quantized = bool(getattr(dataset, "quantized", False))
+    factored = bool(getattr(dataset, "factored", False))
+    prune = (
+        cfg.RELPN.USE_PPN
+        and bool(cfg.RELPN.PPN.get("PRUNE_AT_INFERENCE", False))
+    )
+    mesh = None
+    if bool(cfg.PREDICT.get("SHARD_INFERENCE", False)):
+        from tspn_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.MESH.NUM_DEVICES, cfg.MESH.DATA_AXIS)
+        assert cfg.DATASET.TEST_BATCH_SIZE % mesh.size == 0, (
+            f"TEST_BATCH_SIZE {cfg.DATASET.TEST_BATCH_SIZE} must divide "
+            f"evenly over the {mesh.size}-device mesh"
+        )
+    return _make_batched_infer(
+        model,
+        cfg.PREDICT.TOPK_PER_PAIR,
+        cfg.PREDICT.TOPK_PER_SEG,
+        num_pair_proposals=cfg.RELPN.PPN.NUM_PAIR_PROPOSALS if prune else 0,
+        fuse_ppn_score=bool(cfg.RELPN.PPN.get("FUSE_SCORE", False)),
+        q8_weights=(
+            _q8_classifier_weights(cfg, params)
+            if quantized and not factored else None
+        ),
+        q8f_weights=_q8f_classifier_weights(cfg, params) if factored else None,
+        mesh=mesh,
+        data_axis=cfg.MESH.DATA_AXIS,
+    )
+
+
+def predict_segments(
+    cfg, model, params, dataset: SegmentDataset, logger=None, infer=None,
+    batch_hook=None,
+):
     """Run relation prediction over every test segment.
 
     Accepts a SegmentDataset OR a ConsolidatedSegmentDataset; a quantized
     consolidated store routes scoring through the int8 kernel (see
-    tspn_tpu/data/preprocess.py).
+    tspn_tpu/data/preprocess.py). `infer` (from build_infer) reuses a
+    previously traced program. `batch_hook(batch) -> batch` is applied
+    before each device dispatch (bench/testing hook — e.g. injecting
+    per-repeat content uniqueness against the dev tunnel's dispatch
+    memoization).
 
     Returns {(vid, fstart, fend): (predictions, iou, trackid)}.
     """
@@ -302,42 +346,14 @@ def predict_segments(cfg, model, params, dataset: SegmentDataset, logger=None):
         shuffle=False,
         include_records=True,
     )
-    topk_per_pair = cfg.PREDICT.TOPK_PER_PAIR
-    topk_per_seg = cfg.PREDICT.TOPK_PER_SEG
-    prune = (
-        cfg.RELPN.USE_PPN
-        and bool(cfg.RELPN.PPN.get("PRUNE_AT_INFERENCE", False))
-    )
-
-    mesh = None
-    if bool(cfg.PREDICT.get("SHARD_INFERENCE", False)):
-        from tspn_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(cfg.MESH.NUM_DEVICES, cfg.MESH.DATA_AXIS)
-        assert cfg.DATASET.TEST_BATCH_SIZE % mesh.size == 0, (
-            f"TEST_BATCH_SIZE {cfg.DATASET.TEST_BATCH_SIZE} must divide "
-            f"evenly over the {mesh.size}-device mesh"
-        )
-
-    factored = bool(getattr(dataset, "factored", False))
-    infer = _make_batched_infer(
-        model,
-        topk_per_pair,
-        topk_per_seg,
-        num_pair_proposals=cfg.RELPN.PPN.NUM_PAIR_PROPOSALS if prune else 0,
-        fuse_ppn_score=bool(cfg.RELPN.PPN.get("FUSE_SCORE", False)),
-        q8_weights=(
-            _q8_classifier_weights(cfg, params)
-            if quantized and not factored else None
-        ),
-        q8f_weights=_q8f_classifier_weights(cfg, params) if factored else None,
-        mesh=mesh,
-        data_axis=cfg.MESH.DATA_AXIS,
-    )
+    if infer is None:
+        infer = build_infer(cfg, model, params, dataset)
 
     short_term_relations: Dict[Tuple[str, int, int], tuple] = {}
     seen = set()
     for bucket, batch, indices, records in loader:
+        if batch_hook is not None:
+            batch = batch_hook(batch)
         # one dispatch + one readback for the whole segment batch
         scores_b, pair_idx_b, pred_idx_b, valid_b = jax.tree_util.tree_map(
             np.asarray, infer(params, batch)
