@@ -63,29 +63,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time_chained(step_fn, iters, repeats=5, warmup=3):
-    """Per-iteration time (one value per repeat) under the chained-unique
-    protocol.
+def _time_interleaved(legs, rounds=7, warmup=3):
+    """Per-iteration times for several legs measured in INTERLEAVED
+    rounds (leg A, leg B, ... repeated `rounds` times), medianed per leg.
 
-    step_fn(tag, carry) -> scalar carry. Each repeat times `iters`
+    legs: {name: (step_fn, iters_per_round)} with
+    step_fn(tag, carry) -> scalar carry. Each round times `iters`
     chained iterations bounded by a single scalar readback: the dev
     tunnel's host<->device round trip is ~25 ms, so per-iteration syncs
-    would swamp the kernel — the one RTT per repeat is amortized over
-    `iters` dispatches instead (and slightly UNDERSTATES throughput)."""
-    carry = jnp.float32(0.0)
-    for i in range(warmup):
-        carry = step_fn(float(i + 1), carry)
-    _ = float(np.asarray(carry))  # forced sync
-    per_iter = []
+    would swamp the kernel — the one RTT per round is amortized over
+    `iters` dispatches instead (and slightly UNDERSTATES throughput).
+
+    Interleaving matters: the tunneled chip's minute-scale load swings
+    have moved the SAME compiled kernel between 29 and 67 Mpairs/s
+    across processes (DESIGN.md §7 round 3b), so sequential
+    leg-after-leg timing would bake drift into every ratio. Rounds
+    alternate legs so each leg samples the same load profile; medians
+    across rounds then cancel the swings from the reported ratios."""
+    for step_fn, _ in legs.values():
+        carry = jnp.float32(0.0)
+        for i in range(warmup):
+            carry = step_fn(float(i + 1), carry)
+        _ = float(np.asarray(carry))  # forced sync
+    per_leg = {name: [] for name in legs}
     tag = 100.0
-    for _r in range(repeats):
-        start = time.perf_counter()
-        for _i in range(iters):
-            carry = step_fn(tag, carry)
-            tag += 1.0
-        _ = float(np.asarray(carry))
-        per_iter.append((time.perf_counter() - start) / iters)
-    return np.asarray(per_iter)
+    for _r in range(rounds):
+        for name, (step_fn, iters) in legs.items():
+            carry = jnp.float32(0.0)
+            start = time.perf_counter()
+            for _i in range(iters):
+                carry = step_fn(tag, carry)
+                tag += 1.0
+            _ = float(np.asarray(carry))
+            per_leg[name].append((time.perf_counter() - start) / iters)
+    return {name: np.asarray(ts) for name, ts in per_leg.items()}
 
 
 def bench_kernels():
@@ -148,16 +159,6 @@ def bench_kernels():
         )
         return jnp.max(out)
 
-    OPT_ITERS, OPT_REPEATS = 50, 7
-    t_opt = _time_chained(
-        lambda tag, c: fact_step(
-            trk_q, trk_s, rel_q, rel_s, wq["sw_rel"], jnp.float32(tag), c
-        ),
-        iters=OPT_ITERS, repeats=OPT_REPEATS,
-    )
-    pairs_per_sec = p_total / np.median(t_opt)
-    p25, p75 = np.percentile(t_opt, [25, 75])
-
     # ---- expanded-row q8s kernel (rounds 1-2 headline, for continuity)
     col_valid_i8 = jnp.asarray((_permutation() >= 0), jnp.int8)
     qw, sw = quantize_weights_percol(weights_to_device_layout(w))
@@ -181,14 +182,6 @@ def bench_kernels():
         out = normalize_classify_q8s_pallas(x, s, qw_, swi, b_, row_tile=256)
         return jnp.max(out)
 
-    t_q8s = _time_chained(
-        lambda tag, c: q8_step(
-            feats_q8, scales, qw_dev, sw_dev, b_dev, jnp.float32(tag), c
-        ),
-        iters=40, repeats=5,
-    )
-    q8s_pairs_per_sec = p_total / np.median(t_q8s)
-
     # ---- reference-style: unfused f32, one segment per dispatch
     seg = jax.random.uniform(
         jax.random.PRNGKey(0), (pairs_per_seg, FEATURE_DIM), jnp.float32
@@ -207,10 +200,27 @@ def bench_kernels():
             c = ref_one(seg, w32, b_dev, jnp.float32(tag * segments + s), c)
         return c
 
-    # the baseline leg is dispatch-heavy (one 992-pair segment per
-    # dispatch); extra repeats damp tunnel-load variance in the ratio
-    t_ref = _time_chained(ref_step, iters=5, repeats=7, warmup=2)
-    ref_pairs_per_sec = p_total / np.median(t_ref)
+    ROUNDS = 7
+    legs = {
+        "opt": (
+            lambda tag, c: fact_step(
+                trk_q, trk_s, rel_q, rel_s, wq["sw_rel"], jnp.float32(tag), c
+            ),
+            25,
+        ),
+        "q8s": (
+            lambda tag, c: q8_step(
+                feats_q8, scales, qw_dev, sw_dev, b_dev, jnp.float32(tag), c
+            ),
+            10,
+        ),
+        "ref": (ref_step, 2),  # each ref iter = `segments` dispatches
+    }
+    t = _time_interleaved(legs, rounds=ROUNDS)
+    pairs_per_sec = p_total / np.median(t["opt"])
+    p25, p75 = np.percentile(t["opt"], [25, 75])
+    q8s_pairs_per_sec = p_total / np.median(t["q8s"])
+    ref_pairs_per_sec = p_total / np.median(t["ref"])
 
     return {
         "value": round(pairs_per_sec, 1),
@@ -218,7 +228,8 @@ def bench_kernels():
         "value_iqr": [round(p_total / p75, 1), round(p_total / p25, 1)],
         "baseline_value": round(ref_pairs_per_sec, 1),
         "q8s_value": round(q8s_pairs_per_sec, 1),
-        "iters": [OPT_REPEATS * OPT_ITERS, 35],
+        "iters": {"opt": ROUNDS * 25, "q8s": ROUNDS * 10,
+                  "ref": ROUNDS * 2 * segments},
     }
 
 

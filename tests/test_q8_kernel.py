@@ -313,6 +313,79 @@ def test_factor_expanded_rows_roundtrip(factored_inputs):
     np.testing.assert_allclose(rs1, rs2, rtol=1e-6)
 
 
+def test_fused_factored_matches_unfused(factored_inputs):
+    """The single-pass fused kernel (A-table add in-kernel) must match
+    the two-kernel factored path on identical quantized inputs. n=5 ->
+    P_seg=20, which exercises the tile-illegal row pad branch (pp=32)."""
+    import jax.numpy as jnp
+
+    from tspn_tpu.ops.pairwise import (
+        factor_rel_features_q8,
+        factor_tracklet_features_q8,
+        factored_classify_q8_bucketed,
+        factored_classify_q8_bucketed_fused,
+        split_weights_factored,
+    )
+
+    lo, cls, bow, rel, pairs, feats, w, b = factored_inputs
+    n = cls.shape[0]
+    trk_q, trk_s = factor_tracklet_features_q8(cls, bow, lo)
+    rel_q, rel_s = factor_rel_features_q8(rel, lo)
+    wq = {k: jnp.asarray(v) for k, v in split_weights_factored(w, lo).items()}
+    args = (
+        jnp.asarray(trk_q), jnp.asarray(trk_s),
+        jnp.asarray(rel_q), jnp.asarray(rel_s),
+        wq, jnp.asarray(b),
+    )
+    ref = np.asarray(factored_classify_q8_bucketed(*args, num_tracklets=n))
+    out = np.asarray(
+        factored_classify_q8_bucketed_fused(*args, num_tracklets=n)
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_fused_factored_batched_multi_segment(rng):
+    """Fused kernel across a multi-segment batch with per-segment
+    tracklet descriptors: each segment must pick up ITS OWN A-table
+    block (grid dim 0), with explicit (non-canonical) pair indices."""
+    import jax.numpy as jnp
+
+    from tspn_tpu.ops.pairwise import (
+        factored_classify_q8_batched,
+        factored_classify_q8_fused,
+        pack_rel_sidecar,
+        split_weights_factored,
+        rel_geom,
+        tracklet_geom,
+    )
+
+    lo = DEFAULT_LAYOUT
+    bsz, n, p, r = 3, 4, 64, 7  # p=64: tile-legal, no pad branch
+    gt, gr = tracklet_geom(lo), rel_geom(lo)
+    trk_q = rng.randint(-127, 128, size=(bsz, n, gt.device_dim)).astype(np.int8)
+    trk_s = (rng.rand(bsz, n, 16) * 0.01 + 1e-4).astype(np.float32)
+    rel_q = rng.randint(-127, 128, size=(bsz, p, gr.device_dim)).astype(np.int8)
+    rel_s = (rng.rand(bsz, p, 16) * 0.01 + 1e-4).astype(np.float32)
+    pairs = rng.randint(0, n, size=(bsz, p, 2)).astype(np.int32)
+    w = (rng.randn(lo.dim, r) * 0.01).astype(np.float32)
+    b = rng.randn(r).astype(np.float32)
+    wq = {k: jnp.asarray(v) for k, v in split_weights_factored(w, lo).items()}
+
+    ref = np.asarray(factored_classify_q8_batched(
+        jnp.asarray(trk_q), jnp.asarray(trk_s),
+        jnp.asarray(rel_q), jnp.asarray(rel_s),
+        jnp.asarray(pairs), wq, jnp.asarray(b), layout=lo,
+    ))
+    sidecar = pack_rel_sidecar(jnp.asarray(rel_s), jnp.asarray(pairs))
+    out = np.asarray(factored_classify_q8_fused(
+        jnp.asarray(trk_q), jnp.asarray(trk_s),
+        jnp.asarray(rel_q), sidecar, wq, jnp.asarray(b), layout=lo,
+    ))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_factored_vidor_layout(rng):
     """Factored path at VidOR geometry (C=80)."""
     import jax.numpy as jnp

@@ -755,9 +755,26 @@ def split_weights_factored(
 
     qw_trk, sw_trk = quantize_weights_percol(w_trk)
     qw_rel, sw_rel = quantize_weights_percol(w_rel)
+
+    # fused-kernel variants: the trk weights role-ALIGNED to the padded
+    # predicate width (subject at [0, rp), object at [rp, 2*rp)) so the
+    # per-tracklet pass emits the exact (N, 2*rp) table the fused rel
+    # kernel consumes, and the rel weights pre-padded to rp lanes.
+    rp = _round_up(r, 128)
+    qw_tf = np.zeros((geom_t.device_dim, 2 * rp), np.int8)
+    qw_tf[:, :r] = qw_trk[:, :r]
+    qw_tf[:, rp : rp + r] = qw_trk[:, r:]
+    sw_tf = np.zeros(2 * rp, np.float32)
+    sw_tf[:r] = sw_trk[:r]
+    sw_tf[rp : rp + r] = sw_trk[r:]
+    qw_rp = np.zeros((geom_r.device_dim, rp), np.int8)
+    qw_rp[:, :r] = qw_rel
+
     return {
         "qw_trk": qw_trk, "sw_trk": sw_trk,
         "qw_rel": qw_rel, "sw_rel": sw_rel,
+        "qw_trk_fused": qw_tf, "sw_trk_fused": sw_tf,
+        "qw_rel_pad": qw_rp,
     }
 
 
@@ -901,6 +918,185 @@ def factored_classify_q8_bucketed(
         y
         + jnp.einsum("pn,bnr->bpr", sel_s, a[..., :r])
         + jnp.einsum("pn,bnr->bpr", sel_o, a[..., r:])
+    )
+
+
+# ---------------------------------------------- fused factored rel kernel
+# The two-kernel factored path above still round-trips the (P, rp) f32
+# rel logits through HBM: pallas writes y, then XLA reads y back for the
+# A-table einsum-add (XLA cannot fuse an elementwise epilogue into a
+# custom call). At ~3.1 KB/pair streamed that intermediate is ~2 KB/pair
+# of pure waste (write + read of (P, 256) f32). The fused kernel below
+# performs the A-table add INSIDE the rel pass: the grid runs one step
+# per (segment, row-tile), the segment's tiny (N, 2*rp) partial-logit
+# table rides along as a third input block, and the subject/object
+# selector one-hots are rebuilt in-kernel from per-row indices packed
+# into the (already 128-lane-padded) scale sidecar — two (T, N) iota
+# compares and two (T, N) @ (N, rp) f32 matmuls, ~2% of the int8 rel
+# matmul's MXU time. Same math as factored_classify_q8_batched.
+
+
+@lru_cache(maxsize=None)
+def _canonical_pairs(num_tracklets: int) -> np.ndarray:
+    """(P_seg, 2) int32 (sub, obj) indices in canonical subject-major
+    order (enumerate_ordered_pairs)."""
+    n = num_tracklets
+    idx = np.arange(n)
+    sub = np.repeat(idx, n - 1)
+    obj = np.concatenate([np.delete(idx, i) for i in range(n)])
+    return np.stack([sub, obj], axis=-1).astype(np.int32)
+
+
+@jax.jit
+def pack_rel_sidecar(rel_scales: jnp.ndarray, pairs: jnp.ndarray) -> jnp.ndarray:
+    """(..., 16) rel scales + (..., 2) pair indices -> (..., 128) f32
+    sidecar for the fused factored kernel: col 0 = per-row dequant scale,
+    col 1 = subject tracklet index, col 2 = object index (small ints,
+    exact in f32). Build ONCE per batch — the sidecar is data-constant,
+    so callers keep it out of their weight-update loops."""
+    lead = rel_scales.shape[:-1]
+    out = jnp.zeros(lead + (128,), jnp.float32)
+    out = out.at[..., 0].set(rel_scales[..., 0].astype(jnp.float32))
+    out = out.at[..., 1].set(pairs[..., 0].astype(jnp.float32))
+    out = out.at[..., 2].set(pairs[..., 1].astype(jnp.float32))
+    return out
+
+
+def _fused_row_tile(pp: int) -> int:
+    """Largest multiple-of-32 divisor of pp that is <= 1024 (the rel
+    pass's measured-best row tile)."""
+    best = 32
+    for t in range(32, 1025, 32):
+        if pp % t == 0:
+            best = t
+    return best
+
+
+def _kernel_q8f_fused(x_ref, s_ref, w_ref, sw_ref, b_ref, a_ref, o_ref, *, n):
+    """Rel-block int8 matmul + per-segment A-table add, one pass.
+
+    x (T, rel_pad) int8, s (T, 128) f32 sidecar (pack_rel_sidecar),
+    w (rel_pad, rp) int8, sw/b (1, rp) f32, a (N, 2*rp) f32 role-aligned
+    partial logits -> o (T, rp) f32 final logits.
+    """
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * s_ref[:, 0:1]
+    t, rp = o_ref.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    sel_s = (cols == s_ref[:, 1:2].astype(jnp.int32)).astype(jnp.float32)
+    sel_o = (cols == s_ref[:, 2:3].astype(jnp.int32)).astype(jnp.float32)
+    a = a_ref[:]
+    add = jax.lax.dot(
+        sel_s, a[:, :rp], preferred_element_type=jnp.float32
+    ) + jax.lax.dot(sel_o, a[:, rp:], preferred_element_type=jnp.float32)
+    o_ref[:] = acc * sw_ref[:] + b_ref[:] + add
+
+
+@partial(jax.jit, static_argnames=("layout",))
+def factored_classify_q8_fused(
+    trk_q: jnp.ndarray,      # (B, N, trk_dim) int8
+    trk_scales: jnp.ndarray,  # (B, N, 16) f32
+    rel_q: jnp.ndarray,      # (B, P, rel_pad) int8
+    sidecar: jnp.ndarray,    # (B, P, 128) f32 — pack_rel_sidecar
+    wq: dict,                # split_weights_factored (incl. *_fused keys)
+    b: jnp.ndarray,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """Single-intermediate factored scoring: -> (B, P, R) f32 logits.
+
+    Identical math to factored_classify_q8_batched, minus the HBM
+    round trip of the rel logits (the A-table add happens in-kernel).
+    """
+    bsz, n, td = trk_q.shape
+    _, p, d = rel_q.shape
+    r = wq["qw_rel"].shape[1]
+    rp = _round_up(r, 128)
+
+    a = normalize_classify_q8s_pallas(
+        trk_q.reshape(bsz * n, td), trk_scales.reshape(bsz * n, -1),
+        wq["qw_trk_fused"], wq["sw_trk_fused"],
+        jnp.zeros((2 * rp,), jnp.float32), layout=tracklet_geom(layout),
+    )
+
+    pp = _round_up(p, 32)
+    x, s = rel_q, sidecar
+    if pp != p:  # tile-illegal row count: documented device pad (copy)
+        x = jnp.pad(rel_q, ((0, 0), (0, pp - p), (0, 0)))
+        s = jnp.pad(sidecar, ((0, 0), (0, pp - p), (0, 0)))
+    tile = _fused_row_tile(pp)
+    tiles_per_seg = pp // tile
+    swp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(
+        wq["sw_rel"].astype(jnp.float32)
+    )
+    bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(b.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        partial(_kernel_q8f_fused, n=n),
+        out_shape=jax.ShapeDtypeStruct((bsz * pp, rp), jnp.float32),
+        grid=(bsz, tiles_per_seg),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, d),
+                lambda i, j: (i * tiles_per_seg + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile, 128),
+                lambda i, j: (i * tiles_per_seg + j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((d, rp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n, 2 * rp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, rp),
+            lambda i, j: (i * tiles_per_seg + j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * pp * (d + 2 * n) * rp,
+            bytes_accessed=bsz * pp * (d + 128 * 4 + rp * 4)
+            + d * rp + bsz * n * 2 * rp * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        x.reshape(bsz * pp, d), s.reshape(bsz * pp, 128),
+        wq["qw_rel_pad"], swp, bp, a,
+    )
+    return out.reshape(bsz, pp, rp)[:, :p, :r]
+
+
+def factored_classify_q8_bucketed_fused(
+    trk_q: jnp.ndarray,      # (B * N, trk_dim) int8
+    trk_scales: jnp.ndarray,  # (B * N, 16) f32
+    rel_q: jnp.ndarray,      # (B * P_seg, rel_pad) int8, canonical order
+    rel_scales: jnp.ndarray,  # (B * P_seg, 16) f32
+    wq: dict,
+    b: jnp.ndarray,
+    num_tracklets: int,
+    layout: FeatureLayout = DEFAULT_LAYOUT,
+) -> jnp.ndarray:
+    """Fused-kernel drop-in for factored_classify_q8_bucketed (same flat
+    bucketed inputs and canonical subject-major pair order). Packs the
+    sidecar per call; loop-heavy callers should pack once and call
+    factored_classify_q8_fused directly."""
+    n = num_tracklets
+    bsz = trk_q.shape[0] // n
+    p_seg = n * (n - 1)
+    pairs = jnp.broadcast_to(
+        jnp.asarray(_canonical_pairs(n))[None], (bsz, p_seg, 2)
+    )
+    sidecar = pack_rel_sidecar(rel_scales.reshape(bsz, p_seg, -1), pairs)
+    return factored_classify_q8_fused(
+        trk_q.reshape(bsz, n, -1), trk_scales.reshape(bsz, n, -1),
+        rel_q.reshape(bsz, p_seg, -1), sidecar, wq, b, layout=layout,
     )
 
 
