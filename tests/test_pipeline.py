@@ -68,6 +68,45 @@ def test_tracks_from_learned_appearance(fake_detections):
         tracks_from_detections(missing, classeme_as_appearance=False)
 
 
+def test_appearance_from_config_gated(fake_detections, cfg):
+    """FEATURES.APPEARANCE gates the pipeline's appearance source:
+    'geometric' -> None (proxy blocks), 'learned' -> (T, D, E) re-ID
+    embeddings with zeros at masked-out slots."""
+    from tspn_tpu.models.reid import EMBED_DIM
+    from tspn_tpu.pipeline import appearance_from_config, use_learned_appearance
+
+    vid, dets = fake_detections
+    t_small = 3  # encoder runs per valid patch; keep the host work tiny
+    dets = {k: v[:t_small] for k, v in dets.items()}
+    dets["mask"] = dets["mask"].copy()
+    dets["mask"][0, -1] = False
+    h = int(dets["boxes"][..., 3].max()) + 8
+    w_img = int(dets["boxes"][..., 2].max()) + 8
+    frames = (
+        np.random.RandomState(0).rand(t_small, h, w_img, 3).astype(np.float32)
+    )
+
+    cfg_geo = cfg.clone()
+    cfg_geo.FEATURES.APPEARANCE = "geometric"
+    assert not use_learned_appearance(cfg_geo)
+    assert appearance_from_config(cfg_geo, frames, dets) is None
+
+    cfg_l = cfg.clone()
+    cfg_l.FEATURES.APPEARANCE = "learned"
+    app = appearance_from_config(cfg_l, frames, dets)
+    assert app.shape == dets["boxes"].shape[:2] + (EMBED_DIM,)
+    valid = dets["mask"]
+    # unit-norm embeddings at valid slots, zeros elsewhere
+    norms = np.linalg.norm(app, axis=-1)
+    np.testing.assert_allclose(norms[valid], 1.0, atol=1e-4)
+    assert (norms[~valid] == 0).all()
+
+    cfg_bad = cfg.clone()
+    cfg_bad.FEATURES.APPEARANCE = "idt"
+    with pytest.raises(ValueError, match="APPEARANCE"):
+        use_learned_appearance(cfg_bad)
+
+
 def test_tracks_from_detections_stable(fake_detections):
     vid, dets = fake_detections
     outs = tracks_from_detections(dets)

@@ -37,6 +37,10 @@ def main():
                         help="synthetic mode: quick-fit the detector on the "
                              "clip's known boxes so the chain carries signal")
     parser.add_argument("--out", default=None, help="write relations JSON here")
+    parser.add_argument("--appearance", choices=["learned", "geometric"],
+                        default=None,
+                        help="override FEATURES.APPEARANCE (default: the "
+                             "config default, 'learned')")
     args = parser.parse_args()
 
     if args.cpu:
@@ -46,11 +50,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tspn_tpu.config import get_default_config
     from tspn_tpu.data.segments import segment_video, set_output_dir
     from tspn_tpu.data.trajectory import save_trajectory_proposals
     from tspn_tpu.detection.rcnn import DetectionConfig, FasterRCNN
     from tspn_tpu.features.extraction import extract_segment_artifacts
-    from tspn_tpu.pipeline import _segment_tracklets, tracks_from_detections
+    from tspn_tpu.pipeline import (
+        _segment_tracklets,
+        appearance_from_config,
+        tracks_from_detections,
+    )
+
+    cfg = get_default_config()
+    if args.appearance:
+        cfg.FEATURES.APPEARANCE = args.appearance
 
     workdir = tempfile.mkdtemp(prefix="tspn_demo_")
     set_output_dir(workdir)
@@ -146,25 +159,40 @@ def main():
     ])
     dets["classeme"] = classemes
 
+    # appearance source per FEATURES.APPEARANCE (default "learned":
+    # re-ID embeddings fill the last per-tracklet BoW slot and drive the
+    # tracker's appearance cost, like the reference's mars-small128 path)
+    dets["mask"] = dets["mask"] & (dets["scores"] > 0.1)
+    app = appearance_from_config(cfg, frames, dets)
+    if app is not None:
+        dets["appearance"] = app
+        print(f"[demo] appearance: learned embeddings {app.shape}")
+    else:
+        print("[demo] appearance: geometric proxy blocks")
+
     # ---- 2. tracking (min-confidence filter like deep_sort_app's 0.8
     # operating point, scaled to the quick-fit detector)
-    dets["mask"] = dets["mask"] & (dets["scores"] > 0.1)
-    tracks = tracks_from_detections(dets)
+    tracks = tracks_from_detections(dets, classeme_as_appearance=app is None)
     n_tracks = len(set(tracks["track_id"][tracks["visible"]].tolist()))
     print(f"[demo] tracking: {n_tracks} confirmed tracks")
 
-    # slot classemes: nearest detection per visible slot
+    # slot classemes (+ appearance): nearest detection per visible slot
     t_num, k_num = tracks["track_id"].shape
     slot_classemes = np.zeros((t_num, k_num, 35), np.float32)
+    slot_app = (
+        np.zeros((t_num, k_num, app.shape[-1]), np.float32)
+        if app is not None else None
+    )
     for t in range(t_num):
         for slot in np.flatnonzero(tracks["visible"][t]):
             tb = tracks["tlwh"][t, slot]
             tc = tb[:2] + tb[2:] / 2
             db = dets["boxes"][t]
             centers = (db[:, :2] + db[:, 2:]) / 2
-            slot_classemes[t, slot] = classemes[t][
-                np.argmin(((centers - tc) ** 2).sum(-1))
-            ]
+            nearest = int(np.argmin(((centers - tc) ** 2).sum(-1)))
+            slot_classemes[t, slot] = classemes[t][nearest]
+            if slot_app is not None:
+                slot_app[t, slot] = app[t, nearest]
 
     # ---- 3. per-segment features
     segs = segment_video(0, frames.shape[0])
@@ -174,13 +202,23 @@ def main():
         # quick-fit detections are noisy; accept tracks covering >= 60%
         # of the segment (gaps filled by held boxes)
         props = _segment_tracklets(
-            tracks, slot_classemes, fstart, fend, min_coverage=0.6
+            tracks, slot_classemes, fstart, fend, min_coverage=0.6,
+            appearance_per_frame=slot_app,
         )
         if len(props) < 2:
             continue
         save_trajectory_proposals(props, vid, fstart, fend)
+        appearance = None
+        if slot_app is not None:
+            e = slot_app.shape[-1]
+            appearance = np.stack([
+                np.asarray(p.appearance, np.float32)
+                if p.appearance is not None else np.zeros(e, np.float32)
+                for p in props
+            ])
         if extract_segment_artifacts(vid, fstart, fend, props, [],
-                                     image_wh=(float(w), float(h))):
+                                     image_wh=(float(w), float(h)),
+                                     appearance=appearance):
             written += 1
     print(f"[demo] features: {written}/{len(segs)} segments with >=2 tracklets")
     if written == 0:
@@ -188,11 +226,9 @@ def main():
         return
 
     # ---- 4. relation scoring (untrained weights: scores are priors)
-    from tspn_tpu.config import get_default_config
     from tspn_tpu.data.feature_store import read_segment_features, l1_normalize_bow_blocks
     from tspn_tpu.models.tspn import build_model
 
-    cfg = get_default_config()
     cfg.RELPN.USE_PPN = False
     cfg.RELPN.USE_DPN = False
     rel_model = build_model(cfg)

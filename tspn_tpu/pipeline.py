@@ -31,6 +31,99 @@ from tspn_tpu.features.extraction import extract_segment_artifacts
 from tspn_tpu.tracking.tracker import TrackerConfig, track_video
 
 
+def use_learned_appearance(cfg) -> bool:
+    """True when FEATURES.APPEARANCE selects the learned embedding path
+    (re-ID/RoI vectors in the last per-tracklet BoW slot; see
+    features/extraction.tracklet_motion_bow)."""
+    mode = getattr(cfg.FEATURES, "APPEARANCE", "geometric")
+    if mode not in ("learned", "geometric"):
+        raise ValueError(f"FEATURES.APPEARANCE must be learned|geometric, got {mode}")
+    return mode == "learned"
+
+
+def build_appearance_encoder(checkpoint: Optional[str] = None):
+    """Jitted patch -> embedding function for the learned feature path.
+
+    Flax stand-in for the reference's TF1 frozen encoder
+    (/root/reference/deep_sort/tools/generate_detections.py:71-95).
+    Loads `checkpoint` (reid_train output) when given; otherwise uses the
+    random-init encoder — still a usable locality-sensitive embedding
+    (unit-norm random projections of patch statistics), and the
+    measurement test behind the "learned" default holds either way.
+    """
+    from tspn_tpu.models.reid import AppearanceEncoder, PATCH_SHAPE
+
+    encoder = AppearanceEncoder()
+    dummy = jnp.zeros((1,) + PATCH_SHAPE + (3,), jnp.float32)
+    variables = encoder.init(jax.random.PRNGKey(0), dummy, train=False)
+    if checkpoint:
+        from tspn_tpu.runtime.checkpoint import load_checkpoint
+
+        # reid_train stores the encoder variables under "params"
+        # (save_checkpoint(path, params=enc_vars)); restore by template.
+        variables = load_checkpoint(checkpoint, variables)["params"]
+    return jax.jit(lambda p: encoder.apply(variables, p, train=False))
+
+
+def compute_appearance_per_frame(
+    encode_fn,
+    frames: np.ndarray,       # (T, H, W, 3)
+    detections: Dict[str, np.ndarray],
+    batch_size: int = 32,
+) -> np.ndarray:
+    """Per-detection appearance embeddings: -> (T, D, E) f32, zeros at
+    masked-out slots.
+
+    Host-side patch crops (models/reid.extract_patches, the reference's
+    aspect-correcting crop) are batched through one fixed-shape jitted
+    encoder call per `batch_size` patches (single compiled program)."""
+    from tspn_tpu.models.reid import EMBED_DIM, PATCH_SHAPE, extract_patches
+
+    boxes = detections["boxes"]  # (T, D, 4) xyxy
+    mask = np.asarray(detections["mask"], bool)
+    t, d = boxes.shape[:2]
+    tlwh = np.concatenate(
+        [boxes[..., :2], boxes[..., 2:] - boxes[..., :2]], axis=-1
+    )
+    out = np.zeros((t, d, EMBED_DIM), np.float32)
+    slots = np.argwhere(mask)  # (M, 2) frame, slot
+    if len(slots) == 0:
+        return out
+    patches = np.zeros((len(slots),) + PATCH_SHAPE + (3,), np.float32)
+    for fi in np.unique(slots[:, 0]):
+        rows = np.flatnonzero(slots[:, 0] == fi)
+        patches[rows] = extract_patches(frames[fi], tlwh[fi, slots[rows, 1]])
+    embs = np.zeros((len(slots), EMBED_DIM), np.float32)
+    for start in range(0, len(slots), batch_size):
+        chunk = patches[start : start + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros_like(chunk[:1]).repeat(pad, 0)])
+        embs[start : start + batch_size] = np.asarray(
+            encode_fn(jnp.asarray(chunk))
+        )[: batch_size - pad]
+    out[slots[:, 0], slots[:, 1]] = embs
+    return out
+
+
+def appearance_from_config(
+    cfg,
+    frames: np.ndarray,
+    detections: Dict[str, np.ndarray],
+    encoder_checkpoint: Optional[str] = None,
+    encode_fn=None,
+) -> Optional[np.ndarray]:
+    """Config-gated appearance source (the FEATURES.APPEARANCE switch):
+    returns (T, D, E) learned embeddings when the config selects
+    "learned", None for "geometric" (features/extraction then falls back
+    to the geometric proxy block)."""
+    if not use_learned_appearance(cfg):
+        return None
+    if encode_fn is None:
+        encode_fn = build_appearance_encoder(encoder_checkpoint)
+    return compute_appearance_per_frame(encode_fn, frames, detections)
+
+
 def detect_video_frames(
     model, params, frames: np.ndarray, batch_size: int = 8
 ) -> Dict[str, np.ndarray]:
