@@ -153,7 +153,8 @@ def bench_kernels():
     def fact_step(tq, ts, rq, rs, swr, tag, carry):
         wqi = dict(wq)
         # unique content + dependency chain through the SMALL col scales
-        wqi["sw_rel"] = swr * (1.0 + 1e-6 * (tag + carry))
+        # (sw_rel_pad is the one the padded-operand path actually reads)
+        wqi["sw_rel_pad"] = swr * (1.0 + 1e-6 * (tag + carry))
         out = factored_classify_q8_bucketed(
             tq, ts, rq, rs, wqi, b_dev, num_tracklets=n_trk
         )
@@ -204,7 +205,8 @@ def bench_kernels():
     legs = {
         "opt": (
             lambda tag, c: fact_step(
-                trk_q, trk_s, rel_q, rel_s, wq["sw_rel"], jnp.float32(tag), c
+                trk_q, trk_s, rel_q, rel_s, wq["sw_rel_pad"],
+                jnp.float32(tag), c
             ),
             25,
         ),

@@ -350,25 +350,23 @@ def normalize_classify_q8_pallas(
     )
     r = w_dev.shape[1]
     rp = _round_up(r, 128)
-    pp = _round_up(max(p, row_tile), row_tile)
+    n_tiles = -(-p // row_tile)
 
-    x = jnp.zeros((pp, d), jnp.int8).at[:p].set(q)
     wp = jnp.zeros((d, rp), jnp.bfloat16).at[:, :r].set(
         w_dev.astype(jnp.bfloat16)
     )
-    # per-row head scale as a 128-lane column block (column 0 is read)
-    sp = jnp.ones((pp, 128), jnp.float32).at[:p, 0].set(
-        head_scale.astype(jnp.float32)
-    )
+    # per-row head scale as a 1-lane column block (no widening copy; the
+    # row axis is unpadded — Mosaic masks the final partial block)
+    sp = head_scale.astype(jnp.float32).reshape(p, 1)
     bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(b.astype(jnp.float32))
 
     out = pl.pallas_call(
         partial(_kernel_q8, layout=layout),
-        out_shape=jax.ShapeDtypeStruct((pp, rp), jnp.float32),
-        grid=(pp // row_tile,),
+        out_shape=jax.ShapeDtypeStruct((p, rp), jnp.float32),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((row_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -376,13 +374,13 @@ def normalize_classify_q8_pallas(
             (row_tile, rp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * pp * d * rp,
-            bytes_accessed=pp * d + pp * 128 * 4 + d * rp * 2 + pp * rp * 4,
+            flops=2 * n_tiles * row_tile * d * rp,
+            bytes_accessed=p * d + p * 4 + d * rp * 2 + p * rp * 4,
             transcendentals=0,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(x, sp, wp, bp)
-    return out[:p, :r]
+    )(q, sp, wp, bp)
+    return out[:, :r]
 
 
 # ---------------------------------------------------- int8 x int8 MXU path
@@ -477,28 +475,48 @@ def normalize_classify_q8s_pallas(
     layout: FeatureLayout = DEFAULT_LAYOUT,
 ) -> jnp.ndarray:
     """int8 x int8 kernel with HOST-precomputed row/block scales: the
-    fastest inference path (no in-kernel reductions at all)."""
+    fastest inference path (no in-kernel reductions at all).
+
+    The row axis is NOT padded on device: the grid runs ceil(P/row_tile)
+    steps and Mosaic masks the final partial block (reads beyond P see
+    unspecified values, writes beyond P are dropped — each output row
+    depends only on its own input row, so garbage rows never leak).
+    Round-3 profiling showed the former `zeros.at[:p].set(q)` pad
+    materialized a full copy of the multi-hundred-MB feature buffer per
+    dispatch — 2.6x the kernel's own time. The (P, 16) scale sidecar is
+    likewise consumed directly as a 16-lane block (physically
+    lane-padded by the tiled HBM layout; no widening copy)."""
     p, d = q.shape
     assert d == layout.device_dim
     r = qw.shape[1]
     rp = _round_up(r, 128)
-    pp = _round_up(max(p, row_tile), row_tile)
+    n_tiles = -(-p // row_tile)
 
-    x = jnp.zeros((pp, d), jnp.int8).at[:p].set(q)
-    wp = jnp.zeros((d, rp), jnp.int8).at[:, :r].set(qw)
-    sp = jnp.zeros((pp, 128), jnp.float32).at[:p, :16].set(
-        scales.astype(jnp.float32)
-    )
-    swp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(sw.astype(jnp.float32))
-    bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(b.astype(jnp.float32))
+    # Pre-padded operands pass through untouched: the int8 lane-pad
+    # relayout (zeros.at[:, :r].set) measured ~1.4 ms PER DISPATCH on the
+    # v5e when executed inside the step (tools/bench_rel_steps.py v7) —
+    # callers on hot paths pass padded weights (split_weights_factored's
+    # *_pad keys) so these branches are trace-time no-ops.
+    if r == rp:
+        wp, swp, bp = qw, sw.reshape(1, rp), b.reshape(1, rp)
+    else:
+        wp = jnp.zeros((d, rp), jnp.int8).at[:, :r].set(qw)
+        swp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(
+            sw.astype(jnp.float32)
+        )
+        bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(
+            b.astype(jnp.float32)
+        )
+    swp = swp.astype(jnp.float32)
+    bp = bp.astype(jnp.float32)
 
     out = pl.pallas_call(
         partial(_kernel_q8s, layout=layout),
-        out_shape=jax.ShapeDtypeStruct((pp, rp), jnp.float32),
-        grid=(pp // row_tile,),
+        out_shape=jax.ShapeDtypeStruct((p, rp), jnp.float32),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((row_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -506,14 +524,13 @@ def normalize_classify_q8s_pallas(
         out_specs=pl.BlockSpec(
             (row_tile, rp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * pp * d * rp,
-            bytes_accessed=pp * d + pp * 128 * 4 + d * rp + pp * rp * 4,
-            transcendentals=0,
-        ),
+        # NO cost_estimate: an isolation probe (tools/bench_rel_steps.py,
+        # round 3c) measured the identical kernel 1.5x SLOWER with one —
+        # the estimate degrades the surrounding schedule on this
+        # toolchain rather than improving it.
         interpret=jax.default_backend() == "cpu",
-    )(x, sp, wp, swp, bp)
-    return out[:p, :r]
+    )(q, scales.astype(jnp.float32), wp, swp, bp)
+    return out[:, :r]
 
 
 def _kernel_q8i8(x_ref, s_ref, w_ref, sw_ref, b_ref, o_ref, *, layout):
@@ -554,23 +571,20 @@ def normalize_classify_q8i8_pallas(
     assert d == layout.device_dim
     r = qw.shape[1]
     rp = _round_up(r, 128)
-    pp = _round_up(max(p, row_tile), row_tile)
+    n_tiles = -(-p // row_tile)
 
-    x = jnp.zeros((pp, d), jnp.int8).at[:p].set(q)
     wp = jnp.zeros((d, rp), jnp.int8).at[:, :r].set(qw)
-    sp = jnp.ones((pp, 128), jnp.float32).at[:p, 0].set(
-        head_scale.astype(jnp.float32)
-    )
+    sp = head_scale.astype(jnp.float32).reshape(p, 1)
     swp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(sw.astype(jnp.float32))
     bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(b.astype(jnp.float32))
 
     out = pl.pallas_call(
         partial(_kernel_q8i8, layout=layout),
-        out_shape=jax.ShapeDtypeStruct((pp, rp), jnp.float32),
-        grid=(pp // row_tile,),
+        out_shape=jax.ShapeDtypeStruct((p, rp), jnp.float32),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((row_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -579,13 +593,13 @@ def normalize_classify_q8i8_pallas(
             (row_tile, rp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * pp * d * rp,
-            bytes_accessed=pp * d + pp * 128 * 4 + d * rp + pp * rp * 4,
+            flops=2 * n_tiles * row_tile * d * rp,
+            bytes_accessed=p * d + p * 4 + d * rp + p * rp * 4,
             transcendentals=0,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(x, sp, wp, swp, bp)
-    return out[:p, :r]
+    )(q, sp, wp, swp, bp)
+    return out[:, :r]
 
 
 # ---------------------------------------------------- factored feature path
@@ -769,12 +783,14 @@ def split_weights_factored(
     sw_tf[rp : rp + r] = sw_trk[r:]
     qw_rp = np.zeros((geom_r.device_dim, rp), np.int8)
     qw_rp[:, :r] = qw_rel
+    sw_rp = np.zeros(rp, np.float32)
+    sw_rp[:r] = sw_rel
 
     return {
         "qw_trk": qw_trk, "sw_trk": sw_trk,
         "qw_rel": qw_rel, "sw_rel": sw_rel,
         "qw_trk_fused": qw_tf, "sw_trk_fused": sw_tf,
-        "qw_rel_pad": qw_rp,
+        "qw_rel_pad": qw_rp, "sw_rel_pad": sw_rp,
     }
 
 
@@ -806,6 +822,34 @@ def rel_logits_q8(
     )
 
 
+def _padded_factored_passes(
+    trk_q, trk_scales, rel_q, rel_scales, wq, b,
+    layout: FeatureLayout, rel_row_tile: int = 1024,
+):
+    """Shared trk/rel q8s passes over PRE-PADDED weights (the *_pad /
+    *_fused keys of split_weights_factored): returns
+    (a (NT, 2*rp) role-aligned partial logits, y (P, rp) rel logits+bias,
+    r, rp). Padded output lanes are exactly zero (zero weights, zero
+    bias) and are sliced off by the callers AFTER the A-table add —
+    in-step lane padding of int8 weights measured ~1.4 ms/dispatch
+    (tools/bench_rel_steps.py), so every operand here is padded ONCE at
+    weight-prep time."""
+    r = wq["qw_rel"].shape[1]
+    rp = _round_up(r, 128)
+    a = normalize_classify_q8s_pallas(
+        trk_q, trk_scales, wq["qw_trk_fused"], wq["sw_trk_fused"],
+        jnp.zeros((2 * rp,), jnp.float32), layout=tracklet_geom(layout),
+    )
+    b_pad = b if b.shape[-1] == rp else (
+        jnp.zeros((rp,), jnp.float32).at[:r].set(b.astype(jnp.float32))
+    )
+    y = normalize_classify_q8s_pallas(
+        rel_q, rel_scales, wq["qw_rel_pad"], wq["sw_rel_pad"], b_pad,
+        row_tile=rel_row_tile, layout=rel_geom(layout),
+    )
+    return a, y, r, rp
+
+
 def factored_classify_q8(
     trk_q: jnp.ndarray, trk_scales: jnp.ndarray,
     rel_q: jnp.ndarray, rel_scales: jnp.ndarray,
@@ -817,17 +861,14 @@ def factored_classify_q8(
     logits. The A-table lookup is a one-hot matmul — XLA's row gather
     scalarizes on TPU (measured ~100x slower than the matmul form).
     For bucketed canonical pairs use factored_classify_q8_bucketed."""
-    r = wq["qw_rel"].shape[1]
     n = trk_q.shape[0]
-    a = tracklet_logits_q8(
-        trk_q, trk_scales, wq["qw_trk"], wq["sw_trk"], layout=layout
-    )
-    y = rel_logits_q8(
-        rel_q, rel_scales, wq["qw_rel"], wq["sw_rel"], b, layout=layout
+    a, y, r, rp = _padded_factored_passes(
+        trk_q, trk_scales, rel_q, rel_scales, wq, b, layout
     )
     sel_sub = jax.nn.one_hot(pairs[:, 0], n, dtype=y.dtype)  # (P, N)
     sel_obj = jax.nn.one_hot(pairs[:, 1], n, dtype=y.dtype)
-    return y + sel_sub @ a[:, :r] + sel_obj @ a[:, r:]
+    out = y + sel_sub @ a[:, :rp] + sel_obj @ a[:, rp:]
+    return out[:, :r]
 
 
 @partial(jax.jit, static_argnames=("layout",))
@@ -850,22 +891,21 @@ def factored_classify_q8_batched(
     """
     bsz, n, _ = trk_q.shape
     p = rel_q.shape[1]
-    r = wq["qw_rel"].shape[1]
-    a = tracklet_logits_q8(
+    a, y, r, rp = _padded_factored_passes(
         trk_q.reshape(bsz * n, -1), trk_scales.reshape(bsz * n, -1),
-        wq["qw_trk"], wq["sw_trk"], layout=layout,
-    ).reshape(bsz, n, 2 * r)
-    y = rel_logits_q8(
         rel_q.reshape(bsz * p, -1), rel_scales.reshape(bsz * p, -1),
-        wq["qw_rel"], wq["sw_rel"], b, layout=layout,
-    ).reshape(bsz, p, r)
+        wq, b, layout,
+    )
+    a = a.reshape(bsz, n, 2 * rp)
+    y = y.reshape(bsz, p, rp)
     sel_s = jax.nn.one_hot(pairs[..., 0], n, dtype=y.dtype)  # (B, P, N)
     sel_o = jax.nn.one_hot(pairs[..., 1], n, dtype=y.dtype)
-    return (
+    out = (
         y
-        + jnp.einsum("bpn,bnr->bpr", sel_s, a[..., :r])
-        + jnp.einsum("bpn,bnr->bpr", sel_o, a[..., r:])
+        + jnp.einsum("bpn,bnr->bpr", sel_s, a[..., :rp])
+        + jnp.einsum("bpn,bnr->bpr", sel_o, a[..., rp:])
     )
+    return out[..., :r]
 
 
 @lru_cache(maxsize=None)
@@ -903,22 +943,21 @@ def factored_classify_q8_bucketed(
     into the matmul epilogue.
     """
     n = num_tracklets
-    r = wq["qw_rel"].shape[1]
     bsz = trk_q.shape[0] // n
     p_seg = n * (n - 1)
-    a = tracklet_logits_q8(
-        trk_q, trk_scales, wq["qw_trk"], wq["sw_trk"], layout=layout
-    ).reshape(bsz, n, 2 * r)
-    y = rel_logits_q8(
-        rel_q, rel_scales, wq["qw_rel"], wq["sw_rel"], b, layout=layout
-    ).reshape(bsz, p_seg, r)
+    a, y, r, rp = _padded_factored_passes(
+        trk_q, trk_scales, rel_q, rel_scales, wq, b, layout
+    )
+    a = a.reshape(bsz, n, 2 * rp)
+    y = y.reshape(bsz, p_seg, rp)
     sel_s, sel_o = _pair_selectors(n)
     sel_s, sel_o = jnp.asarray(sel_s), jnp.asarray(sel_o)
-    return (
+    out = (
         y
-        + jnp.einsum("pn,bnr->bpr", sel_s, a[..., :r])
-        + jnp.einsum("pn,bnr->bpr", sel_o, a[..., r:])
+        + jnp.einsum("pn,bnr->bpr", sel_s, a[..., :rp])
+        + jnp.einsum("pn,bnr->bpr", sel_o, a[..., rp:])
     )
+    return out[..., :r]
 
 
 # ---------------------------------------------- fused factored rel kernel
@@ -1027,9 +1066,7 @@ def factored_classify_q8_fused(
         s = jnp.pad(sidecar, ((0, 0), (0, pp - p), (0, 0)))
     tile = _fused_row_tile(pp)
     tiles_per_seg = pp // tile
-    swp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(
-        wq["sw_rel"].astype(jnp.float32)
-    )
+    swp = wq["sw_rel_pad"].reshape(1, rp).astype(jnp.float32)
     bp = jnp.zeros((1, rp), jnp.float32).at[0, :r].set(b.astype(jnp.float32))
 
     out = pl.pallas_call(
@@ -1162,12 +1199,8 @@ def normalize_classify_q8t_pallas(
     assert d == layout.device_dim
     r = qwt.shape[0]
     rp = _round_up(r, 32)           # int8 sublane tile
-    pp = _round_up(max(p, col_tile), col_tile)
+    n_tiles = -(-p // col_tile)
 
-    x = jnp.zeros((d, pp), jnp.int8).at[:, :p].set(xt)
-    st = jnp.zeros((16, pp), jnp.float32).at[:, :p].set(
-        scales_t.astype(jnp.float32)
-    )
     wp = jnp.zeros((rp, d), jnp.int8).at[:r].set(qwt)
     swb = jnp.zeros((rp, 128), jnp.float32)
     swb = swb.at[:r, 0].set(sw.astype(jnp.float32))
@@ -1175,8 +1208,8 @@ def normalize_classify_q8t_pallas(
 
     out = pl.pallas_call(
         partial(_kernel_q8t, layout=layout),
-        out_shape=jax.ShapeDtypeStruct((rp, pp), jnp.float32),
-        grid=(pp // col_tile,),
+        out_shape=jax.ShapeDtypeStruct((rp, p), jnp.float32),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((d, col_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, col_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -1187,15 +1220,15 @@ def normalize_classify_q8t_pallas(
             (rp, col_tile), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * pp * d * rp,
-            bytes_accessed=pp * d + pp * 16 * 4 + d * rp + pp * rp * 4,
+            flops=2 * n_tiles * col_tile * d * rp,
+            bytes_accessed=p * d + p * 16 * 4 + d * rp + p * rp * 4,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=jax.default_backend() == "cpu",
-    )(x, st, wp, swb)
+    )(xt, scales_t.astype(jnp.float32), wp, swb)
     return out[:r, :p]
 
 
@@ -1240,9 +1273,8 @@ def normalize_classify_pallas(
     )
     r = w_dev.shape[1]
     rp = _round_up(r, 128)
-    pp = _round_up(max(p, row_tile), row_tile)
+    n_tiles = -(-p // row_tile)
 
-    x = jnp.zeros((pp, d), feats_dev.dtype).at[:p].set(feats_dev)
     wp = jnp.zeros((d, rp), feats_dev.dtype).at[:, :r].set(
         w_dev.astype(feats_dev.dtype)
     )
@@ -1250,8 +1282,8 @@ def normalize_classify_pallas(
 
     out = pl.pallas_call(
         partial(_kernel, layout=layout),
-        out_shape=jax.ShapeDtypeStruct((pp, rp), jnp.float32),
-        grid=(pp // row_tile,),
+        out_shape=jax.ShapeDtypeStruct((p, rp), jnp.float32),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((row_tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, rp), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1261,12 +1293,12 @@ def normalize_classify_pallas(
             (row_tile, rp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * pp * d * rp,
-            bytes_accessed=pp * d * feats_dev.dtype.itemsize
+            flops=2 * n_tiles * row_tile * d * rp,
+            bytes_accessed=p * d * feats_dev.dtype.itemsize
             + d * rp * feats_dev.dtype.itemsize
-            + pp * rp * 4,
+            + p * rp * 4,
             transcendentals=0,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(x, wp, bp)
-    return out[:p, :r]
+    )(feats_dev, wp, bp)
+    return out[:, :r]
