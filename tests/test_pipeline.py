@@ -101,8 +101,15 @@ def test_appearance_from_config_gated(fake_detections, cfg):
     np.testing.assert_allclose(norms[valid], 1.0, atol=1e-4)
     assert (norms[~valid] == 0).all()
 
+    # "idt" is a valid third mode (pixel HoG/HoF/MBH bags): not learned,
+    # and appearance_from_config yields nothing for it
+    cfg_idt = cfg.clone()
+    cfg_idt.FEATURES.APPEARANCE = "idt"
+    assert not use_learned_appearance(cfg_idt)
+    assert appearance_from_config(cfg_idt, frames, dets) is None
+
     cfg_bad = cfg.clone()
-    cfg_bad.FEATURES.APPEARANCE = "idt"
+    cfg_bad.FEATURES.APPEARANCE = "hand-crafted"
     with pytest.raises(ValueError, match="APPEARANCE"):
         use_learned_appearance(cfg_bad)
 

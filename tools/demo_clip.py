@@ -37,10 +37,12 @@ def main():
                         help="synthetic mode: quick-fit the detector on the "
                              "clip's known boxes so the chain carries signal")
     parser.add_argument("--out", default=None, help="write relations JSON here")
-    parser.add_argument("--appearance", choices=["learned", "geometric"],
+    parser.add_argument("--appearance",
+                        choices=["learned", "geometric", "idt"],
                         default=None,
                         help="override FEATURES.APPEARANCE (default: the "
-                             "config default, 'learned')")
+                             "config default, 'learned'; 'idt' = pixel "
+                             "HoG/HoF/MBH bags, features/idt)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -58,6 +60,7 @@ def main():
     from tspn_tpu.pipeline import (
         _segment_tracklets,
         appearance_from_config,
+        idt_from_config,
         tracks_from_detections,
     )
 
@@ -167,12 +170,17 @@ def main():
     if app is not None:
         dets["appearance"] = app
         print(f"[demo] appearance: learned embeddings {app.shape}")
+    elif cfg.FEATURES.APPEARANCE == "idt":
+        print("[demo] visual features: pixel HoG/HoF/MBH bags (idt)")
     else:
         print("[demo] appearance: geometric proxy blocks")
 
     # ---- 2. tracking (min-confidence filter like deep_sort_app's 0.8
     # operating point, scaled to the quick-fit detector)
     tracks = tracks_from_detections(dets, classeme_as_appearance=app is None)
+    # idt bags pool frame content inside the TRACK slots, so they are
+    # computed after tracking (None unless FEATURES.APPEARANCE == "idt")
+    slot_idt = idt_from_config(cfg, frames, tracks)
     n_tracks = len(set(tracks["track_id"][tracks["visible"]].tolist()))
     print(f"[demo] tracking: {n_tracks} confirmed tracks")
 
@@ -203,7 +211,7 @@ def main():
         # of the segment (gaps filled by held boxes)
         props = _segment_tracklets(
             tracks, slot_classemes, fstart, fend, min_coverage=0.6,
-            appearance_per_frame=slot_app,
+            appearance_per_frame=slot_app, idt_per_frame=slot_idt,
         )
         if len(props) < 2:
             continue
@@ -216,9 +224,17 @@ def main():
                 if p.appearance is not None else np.zeros(e, np.float32)
                 for p in props
             ])
+        idt_bags = None
+        if slot_idt is not None:
+            e = slot_idt.shape[-1]
+            idt_bags = np.stack([
+                np.asarray(p.idt, np.float32)
+                if p.idt is not None else np.zeros(e, np.float32)
+                for p in props
+            ])
         if extract_segment_artifacts(vid, fstart, fend, props, [],
                                      image_wh=(float(w), float(h)),
-                                     appearance=appearance):
+                                     appearance=appearance, idt=idt_bags):
             written += 1
     print(f"[demo] features: {written}/{len(segs)} segments with >=2 tracklets")
     if written == 0:

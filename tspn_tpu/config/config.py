@@ -132,14 +132,19 @@ def get_default_config() -> Config:
                 "FUSED_CLASSIFIER": False,
             },
             "FEATURES": {
-                # per-tracklet appearance source for self-produced relation
+                # visual-feature source for self-produced relation
                 # features (features/extraction): "learned" fills the last
                 # BoW slot with re-ID/RoI embeddings when the pipeline
                 # provides them (models/reid), falling back to the
-                # geometric proxy otherwise; "geometric" forces the proxy.
-                # Default chosen by measurement: learned embeddings
-                # separate visually-defined relations that geometric
-                # features provably cannot (tests/test_feature_extraction.py
+                # geometric proxy otherwise; "geometric" forces the proxy;
+                # "idt" fills slots 2-4 with pixel-computed HoG/HoF/MBH
+                # bags (features/idt) — the reference's semantic layout
+                # (vrdataset.py:219-242), costlier (dense optical flow
+                # per frame pair) but content-matched to what the
+                # reference consumed. Default chosen by measurement:
+                # learned embeddings separate visually-defined relations
+                # that geometric features provably cannot
+                # (tests/test_feature_extraction.py
                 # ::test_learned_appearance_separates_visual_relations)
                 # while leaving the motion blocks untouched.
                 "APPEARANCE": "learned",

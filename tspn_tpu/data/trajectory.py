@@ -37,6 +37,10 @@ class Trajectory:
     # features/extraction when FEATURES.APPEARANCE == "learned"; not
     # serialized into traj_cls JSON (a derived, regenerable quantity)
     appearance: Optional[np.ndarray] = None
+    # optional (3000,) HoG/HoF/MBH bag-of-words (features/idt) — consumed
+    # by features/extraction when FEATURES.APPEARANCE == "idt"; likewise
+    # derived and not serialized
+    idt: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.rois = np.asarray(self.rois, dtype=np.float64).reshape(-1, 4)

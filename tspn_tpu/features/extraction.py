@@ -116,9 +116,15 @@ def appearance_to_block(emb: jnp.ndarray) -> jnp.ndarray:
     return block / denom
 
 
+def _l1n(block: jnp.ndarray) -> jnp.ndarray:
+    denom = jnp.clip(jnp.sum(jnp.abs(block), axis=-1, keepdims=True), 1e-12)
+    return block / denom
+
+
 def tracklet_motion_bow(
     boxes: jnp.ndarray, image_wh=(1.0, 1.0),
     appearance: Optional[jnp.ndarray] = None,
+    idt: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(N, T, 4) -> (N, 4000): the per-tracklet 4 x 1000 BoW slots.
 
@@ -129,6 +135,13 @@ def tracklet_motion_bow(
     reference's 1-geometric + visual-descriptor split
     (TrajectoryShape + HoG/HoF/MBH, vrdataset.py:219-242). Layout and
     normalization contract are identical either way.
+
+    iDT mode (`idt` = (N, 3000) pixel-computed HoG/HoF/MBH bags from
+    features/idt): the layout becomes EXACTLY the reference's semantic
+    slot order — TrajectoryShape-analog (the geometric shape block) +
+    HoG + HoF + MBH (vrdataset.py:219-242) — with each visual family
+    L1-normalized into its own 1000-wide slot. `idt` takes precedence
+    over `appearance`.
     """
     iw, ih = image_wh
     cx, cy, w, h = _box_stats(boxes)
@@ -141,6 +154,16 @@ def tracklet_motion_bow(
     aspect = jnp.tanh(jnp.log(w / h))
     dscale = jnp.diff(diag, axis=-1, append=diag[..., -1:])
     shape_block = _block_of([cx, cy, aspect, diag * 2 - 1])
+    if idt is not None:
+        return jnp.concatenate(
+            [
+                shape_block,
+                _l1n(idt[..., :BLOCK]),
+                _l1n(idt[..., BLOCK : 2 * BLOCK]),
+                _l1n(idt[..., 2 * BLOCK :]),
+            ],
+            axis=-1,
+        )
     vel_block = _block_of([jnp.tanh(vx * 20), jnp.tanh(vy * 20)])
     acc_block = _block_of([jnp.tanh(ax * 40), jnp.tanh(ay * 40)])
     if appearance is not None:
@@ -178,12 +201,14 @@ def assemble_pair_features(
     pairs: jnp.ndarray,      # (P, 2) ordered pair indices
     image_wh: tuple = (1.0, 1.0),
     appearance: Optional[jnp.ndarray] = None,  # (N, E) learned embeddings
+    idt: Optional[jnp.ndarray] = None,  # (N, 3000) HoG/HoF/MBH bags
 ) -> jnp.ndarray:
     """-> (P, 2C + 11000) in the reference feature layout, on device
     (C=35 gives the reference's 11070-d VidVRD layout). With
-    `appearance`, per-tracklet learned embeddings fill the last BoW slot
-    (see tracklet_motion_bow)."""
-    motion = tracklet_motion_bow(boxes, image_wh, appearance=appearance)
+    `appearance`, per-tracklet learned embeddings fill the last BoW slot;
+    with `idt`, pixel-computed HoG/HoF/MBH fill slots 2-4 (see
+    tracklet_motion_bow)."""
+    motion = tracklet_motion_bow(boxes, image_wh, appearance=appearance, idt=idt)
     sub, obj = pairs[:, 0], pairs[:, 1]
     rel = pair_relative_bow(boxes[sub], boxes[obj])  # (P, 3000)
     feats = jnp.concatenate(
@@ -203,13 +228,16 @@ def extract_segment_artifacts(
     image_wh: tuple = (1.0, 1.0),
     num_objects: int = 35,
     appearance: Optional[np.ndarray] = None,  # (N_prop + N_gt, E)
+    idt: Optional[np.ndarray] = None,         # (N_prop + N_gt, 3000)
 ) -> Optional[SegmentFeatures]:
     """Compute + persist one segment's relation h5 (features/pairs/iou/
     trackid) from tracklets; GT tracklets (with gt_trackid set) are
     appended after proposals exactly like the consumed layout
     (predict.py:131-160's N+GT convention). `appearance` (per-tracklet
     learned embeddings, e.g. models/reid over box patches) fills the
-    last per-tracklet BoW slot when given."""
+    last per-tracklet BoW slot when given; `idt` (pixel-computed
+    HoG/HoF/MBH bags, features/idt) fills slots 2-4 and wins over
+    `appearance`."""
     gt_trajs = gt_trajs or []
     all_trajs = list(proposal_trajs) + list(gt_trajs)
     n_all = len(all_trajs)
@@ -233,6 +261,7 @@ def extract_segment_artifacts(
                 None if appearance is None
                 else jnp.asarray(appearance, jnp.float32)
             ),
+            idt=None if idt is None else jnp.asarray(idt, jnp.float32),
         ),
         np.float32,
     )

@@ -31,14 +31,29 @@ from tspn_tpu.features.extraction import extract_segment_artifacts
 from tspn_tpu.tracking.tracker import TrackerConfig, track_video
 
 
+def visual_mode(cfg) -> str:
+    """The FEATURES.APPEARANCE switch: which source fills the visual
+    BoW slots of self-produced relation features.
+
+      "geometric" — box-trajectory proxy blocks only
+      "learned"   — re-ID embeddings in the last per-tracklet slot
+      "idt"       — pixel-computed HoG/HoF/MBH bags (features/idt) in
+                    slots 2-4, the reference's semantic layout
+                    (/root/reference/lib/dataset/vrdataset.py:219-242)
+    """
+    mode = getattr(cfg.FEATURES, "APPEARANCE", "geometric")
+    if mode not in ("learned", "geometric", "idt"):
+        raise ValueError(
+            f"FEATURES.APPEARANCE must be learned|geometric|idt, got {mode}"
+        )
+    return mode
+
+
 def use_learned_appearance(cfg) -> bool:
     """True when FEATURES.APPEARANCE selects the learned embedding path
     (re-ID/RoI vectors in the last per-tracklet BoW slot; see
     features/extraction.tracklet_motion_bow)."""
-    mode = getattr(cfg.FEATURES, "APPEARANCE", "geometric")
-    if mode not in ("learned", "geometric"):
-        raise ValueError(f"FEATURES.APPEARANCE must be learned|geometric, got {mode}")
-    return mode == "learned"
+    return visual_mode(cfg) == "learned"
 
 
 def build_appearance_encoder(checkpoint: Optional[str] = None):
@@ -124,6 +139,20 @@ def appearance_from_config(
     return compute_appearance_per_frame(encode_fn, frames, detections)
 
 
+def idt_from_config(
+    cfg, frames: np.ndarray, track_out: Dict[str, np.ndarray]
+) -> Optional[np.ndarray]:
+    """Config-gated iDT source: (T, K, 3000) per-slot HoG/HoF/MBH soft
+    BoW assignments when FEATURES.APPEARANCE == "idt", else None.
+    Computed AFTER tracking (descriptors pool the frame content inside
+    each track slot's box)."""
+    if visual_mode(cfg) != "idt":
+        return None
+    from tspn_tpu.features.idt import idt_per_slot
+
+    return idt_per_slot(frames, track_out)
+
+
 def detect_video_frames(
     model, params, frames: np.ndarray, batch_size: int = 8
 ) -> Dict[str, np.ndarray]:
@@ -196,6 +225,7 @@ def _segment_tracklets(
     fend: int,
     min_coverage: float = 1.0,
     appearance_per_frame: Optional[np.ndarray] = None,  # (T, K, E)
+    idt_per_frame: Optional[np.ndarray] = None,  # (T, K, 3000)
 ) -> List[Trajectory]:
     """Cut whole-video tracks into segment tracklets.
 
@@ -204,7 +234,9 @@ def _segment_tracklets(
     nearest visible box (the tracklet must still span the full segment
     for the pair-feature layout). With appearance_per_frame, each
     tracklet also carries its mean learned embedding (Trajectory
-    .appearance) for the learned feature path.
+    .appearance) for the learned feature path; with idt_per_frame, its
+    mean HoG/HoF/MBH BoW assignment (Trajectory.idt) — the mean over
+    visible frames IS the tracklet's bag-of-words.
     """
     tlwh = track_out["tlwh"][fstart:fend]          # (S, K, 4)
     ids = track_out["track_id"][fstart:fend]       # (S, K)
@@ -214,6 +246,7 @@ def _segment_tracklets(
         appearance_per_frame[fstart:fend]
         if appearance_per_frame is not None else None
     )
+    idts = idt_per_frame[fstart:fend] if idt_per_frame is not None else None
     s = fend - fstart
     trajs = []
     for tid in np.unique(ids[visible]):
@@ -225,6 +258,7 @@ def _segment_tracklets(
         seen = np.zeros(s, bool)
         cls_acc = None
         app_acc = None
+        idt_acc = None
         for f in range(s):
             slots = np.flatnonzero(present[f])
             if len(slots) == 0:
@@ -238,6 +272,9 @@ def _segment_tracklets(
             if apps is not None:
                 a = apps[f, k]
                 app_acc = a if app_acc is None else app_acc + a
+            if idts is not None:
+                d = idts[f, k]
+                idt_acc = d if idt_acc is None else idt_acc + d
         # hold the nearest visible box across gaps
         last = None
         for f in range(s):
@@ -256,6 +293,10 @@ def _segment_tracklets(
                 appearance=(
                     None if app_acc is None
                     else np.asarray(app_acc / frames_seen, np.float32)
+                ),
+                idt=(
+                    None if idt_acc is None
+                    else np.asarray(idt_acc / frames_seen, np.float32)
                 ),
             )
         )
@@ -296,19 +337,34 @@ def extract_video_artifacts(
     include_gt: bool = True,
     num_classes: int = 35,
     appearance_per_frame: Optional[np.ndarray] = None,
+    idt_per_frame: Optional[np.ndarray] = None,
 ) -> int:
     """Write traj_cls JSON + relation h5 for every segment of one video.
     Returns the number of segments written. With appearance_per_frame
     (T, K, E learned embeddings per track slot), features use the
-    learned appearance block (GT tracklets carry zero embeddings — they
-    exist for label matching, not scoring)."""
+    learned appearance block; with idt_per_frame (T, K, 3000 HoG/HoF/MBH
+    assignments, features/idt), the pixel-computed visual blocks. GT
+    tracklets carry zeros either way — they exist for label matching,
+    not scoring."""
     anno = dataset.get_anno(vid)
     image_wh = (float(anno["width"]), float(anno["height"]))
     written = 0
+
+    def stacked(per_frame_dim, attr, trajs):
+        return np.stack(
+            [
+                np.asarray(getattr(t, attr), np.float32)
+                if getattr(t, attr) is not None
+                else np.zeros(per_frame_dim, np.float32)
+                for t in trajs
+            ]
+        )
+
     for fstart, fend in segment_video(0, anno["frame_count"]):
         props = _segment_tracklets(
             track_out, classemes_per_frame, fstart, fend,
             appearance_per_frame=appearance_per_frame,
+            idt_per_frame=idt_per_frame,
         )
         if len(props) < 2:
             continue
@@ -320,17 +376,15 @@ def extract_video_artifacts(
         )
         appearance = None
         if appearance_per_frame is not None:
-            e = appearance_per_frame.shape[-1]
-            appearance = np.stack(
-                [
-                    np.asarray(t.appearance, np.float32)
-                    if t.appearance is not None else np.zeros(e, np.float32)
-                    for t in props + gts
-                ]
+            appearance = stacked(
+                appearance_per_frame.shape[-1], "appearance", props + gts
             )
+        idt = None
+        if idt_per_frame is not None:
+            idt = stacked(idt_per_frame.shape[-1], "idt", props + gts)
         seg = extract_segment_artifacts(
             vid, fstart, fend, props, gts, image_wh=image_wh,
-            num_objects=num_classes, appearance=appearance,
+            num_objects=num_classes, appearance=appearance, idt=idt,
         )
         written += seg is not None
     return written
