@@ -215,6 +215,16 @@ class ConsolidatedStore:
         self.num_proposals = np.asarray(self._f["num_proposals"][:])
         # signature -> local index
         self.index_of = {sig: k for k, sig in enumerate(self.signatures)}
+        # h5py re-creates a Dataset proxy on every group lookup (~0.7 ms
+        # each on this 1-core host — 9 lookups/segment dominated read()
+        # in profiling); resolve each dataset ONCE here.
+        names = ["feats", "pairs", "pred_label", "iou_flat",
+                 "trackid_flat", "cls_logits_flat"]
+        if self.quantized:
+            names.append("q8_scales")
+        if self.factored:
+            names += ["trk_feats", "trk_scales"]
+        self._ds = {name: self._f[name] for name in names}
 
     def close(self):
         self._f.close()
@@ -228,28 +238,29 @@ class ConsolidatedStore:
         lo, hi = self.row_ranges[k]
         n_tid = self._tid_off[k + 1] - self._tid_off[k]
         n_all = int(np.sqrt(self._iou_off[k + 1] - self._iou_off[k]))
+        ds = self._ds
         out = {
-            "feats": np.asarray(self._f["feats"][lo:hi]),
-            "pairs": np.asarray(self._f["pairs"][lo:hi]),
-            "labels": np.asarray(self._f["pred_label"][lo:hi]),
+            "feats": np.asarray(ds["feats"][lo:hi]),
+            "pairs": np.asarray(ds["pairs"][lo:hi]),
+            "labels": np.asarray(ds["pred_label"][lo:hi]),
             "iou": np.asarray(
-                self._f["iou_flat"][self._iou_off[k] : self._iou_off[k + 1]]
+                ds["iou_flat"][self._iou_off[k] : self._iou_off[k + 1]]
             ).reshape(n_all, n_all),
             "trackid": np.asarray(
-                self._f["trackid_flat"][self._tid_off[k] : self._tid_off[k + 1]]
+                ds["trackid_flat"][self._tid_off[k] : self._tid_off[k + 1]]
             ),
             "cls_logits": np.asarray(
-                self._f["cls_logits_flat"][self._cls_off[k] : self._cls_off[k + 1]]
+                ds["cls_logits_flat"][self._cls_off[k] : self._cls_off[k + 1]]
             ).reshape(-1, self.num_objects),
             "num_proposals": int(self.num_proposals[k]),
         }
         assert n_tid == n_all
         if self.quantized:
-            out["q8_scales"] = np.asarray(self._f["q8_scales"][lo:hi])
+            out["q8_scales"] = np.asarray(ds["q8_scales"][lo:hi])
         if self.factored:
             t0, t1 = self._trk_off[k], self._trk_off[k + 1]
-            out["trk_feats"] = np.asarray(self._f["trk_feats"][t0:t1])
-            out["trk_scales"] = np.asarray(self._f["trk_scales"][t0:t1])
+            out["trk_feats"] = np.asarray(ds["trk_feats"][t0:t1])
+            out["trk_scales"] = np.asarray(ds["trk_scales"][t0:t1])
         return out
 
 

@@ -379,17 +379,24 @@ def predict_segments(
                 if cls_logits.size
                 else np.zeros(record.num_proposals, np.int64)
             )
-            predictions = []
-            for s, pi, ri, ok in zip(scores, pair_idx, pred_idx, valid):
-                if not ok:
-                    continue
-                s_tid, o_tid = int(pairs[pi, 0]), int(pairs[pi, 1])
-                triplet = np.array(
-                    [int(obj_labels[s_tid]), int(ri), int(obj_labels[o_tid])]
-                )
-                predictions.append(
-                    (np.float32(s), triplet, np.array([s_tid, o_tid]))
-                )
+            # vectorized assembly: the per-entry Python loop (one
+            # np.array pair per prediction, top-200/segment) measured as
+            # the single largest host cost of the scored portion — build
+            # all triplets/tid rows in three indexed ops and zip row
+            # views instead
+            ok = np.asarray(valid, bool)
+            tids = pairs[pair_idx[ok]].astype(np.int64)  # (M, 2)
+            triplets = np.stack(
+                [
+                    obj_labels[tids[:, 0]],
+                    pred_idx[ok].astype(np.int64),
+                    obj_labels[tids[:, 1]],
+                ],
+                axis=1,
+            )  # (M, 3)
+            predictions = list(
+                zip(scores[ok].astype(np.float32), triplets, tids)
+            )
             short_term_relations[index] = (
                 predictions,
                 np.asarray(record.iou),
