@@ -26,9 +26,9 @@ import numpy as np
 
 from tspn_tpu.data.vrdataset import (
     SegmentDataset,
-    pad_record,
+    batch_buffers,
+    fill_padded,
     pick_bucket,
-    stack_records,
 )
 
 
@@ -51,6 +51,7 @@ class BucketedLoader:
         prefetch: int = 2,
         include_records: bool = False,
         feats_dtype=None,
+        include_labels: bool = True,
     ):
         self.dataset = dataset
         self.buckets = sorted(buckets)
@@ -65,6 +66,9 @@ class BucketedLoader:
         self.world_size = world_size
         self.prefetch = prefetch
         self.include_records = include_records
+        # inference loaders skip label reading/matching/padding entirely
+        # (no consumer; the label leaves were a measurable host cost)
+        self.include_labels = include_labels
         import numpy as _np
 
         self.feats_dtype = feats_dtype or _np.float32
@@ -119,13 +123,19 @@ class BucketedLoader:
                 return
 
     def _assemble(self, bucket: int, idxs: List[int]):
-        records = [self.dataset.load_segment(i) for i in idxs]
-        padded = [
-            pad_record(r, bucket, self.num_predicates, self.num_objects,
-                       self.feature_dim, feats_dtype=self.feats_dtype)
-            for r in records
-        ]
-        out = (bucket, stack_records(padded), [r.index for r in records])
+        if self.include_labels:
+            records = [self.dataset.load_segment(i) for i in idxs]
+        else:
+            records = [
+                self.dataset.load_segment(i, with_labels=False) for i in idxs
+            ]
+        bufs = batch_buffers(
+            records[0], len(records), bucket, self.num_predicates,
+            self.num_objects, self.feature_dim, feats_dtype=self.feats_dtype,
+        )
+        for b, r in enumerate(records):
+            fill_padded(bufs, b, r, bucket)
+        out = (bucket, bufs, [r.index for r in records])
         if self.include_records:
             out = out + (records,)
         return out

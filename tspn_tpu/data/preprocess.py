@@ -232,9 +232,11 @@ class ConsolidatedStore:
     def __len__(self) -> int:
         return len(self.signatures)
 
-    def read(self, k: int):
+    def read(self, k: int, with_labels: bool = True):
         """-> dict with feats [+ head_scale], pairs, labels, cls_logits,
-        iou, trackid, num_proposals for consolidated segment k."""
+        iou, trackid, num_proposals for consolidated segment k.
+        with_labels=False skips the pred_label slab read (inference has
+        no label consumer)."""
         lo, hi = self.row_ranges[k]
         n_tid = self._tid_off[k + 1] - self._tid_off[k]
         n_all = int(np.sqrt(self._iou_off[k + 1] - self._iou_off[k]))
@@ -242,7 +244,9 @@ class ConsolidatedStore:
         out = {
             "feats": np.asarray(ds["feats"][lo:hi]),
             "pairs": np.asarray(ds["pairs"][lo:hi]),
-            "labels": np.asarray(ds["pred_label"][lo:hi]),
+            "labels": (
+                np.asarray(ds["pred_label"][lo:hi]) if with_labels else None
+            ),
             "iou": np.asarray(
                 ds["iou_flat"][self._iou_off[k] : self._iou_off[k + 1]]
             ).reshape(n_all, n_all),
@@ -311,10 +315,10 @@ class ConsolidatedSegmentDataset:
         """Stored per-pair width (device_dim when quantized)."""
         return int(self.store._f["feats"].shape[1])
 
-    def load_segment(self, idx: int):
+    def load_segment(self, idx: int, with_labels: bool = True):
         from tspn_tpu.data.vrdataset import SegmentRecord
 
-        rec = self.store.read(idx)
+        rec = self.store.read(idx, with_labels=with_labels)
         return SegmentRecord(
             index=self.index[idx],
             feats=rec["feats"],

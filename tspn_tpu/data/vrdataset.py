@@ -150,13 +150,18 @@ class SegmentDataset:
             trackid = np.asarray(f["trackid"][:])
         return int(np.sum(trackid < 0))
 
-    def load_segment(self, idx: int) -> SegmentRecord:
+    def load_segment(self, idx: int, with_labels: bool = True) -> SegmentRecord:
         index = self.index[idx]
         vid, fstart, fend = index
         seg = read_segment_features(vid, fstart, fend)
         assert seg is not None, f"missing relation feature for {index}"
 
-        labels = self._match_labels(seg, self.gt_rel_insts[index])
+        # inference callers skip GT label matching (labels have no
+        # consumer at predict time; matching is a per-segment host cost)
+        labels = (
+            self._match_labels(seg, self.gt_rel_insts[index])
+            if with_labels else None
+        )
 
         # keep only proposal-proposal pairs (vrdataset.py:140-148)
         is_proposal = seg.trackid < 0
@@ -172,7 +177,8 @@ class SegmentDataset:
         else:
             feats = l1_normalize_bow_blocks(seg.feats[keep], layout)
         pairs = seg.pairs[keep].astype(np.int64)
-        labels = labels[keep]
+        if labels is not None:
+            labels = labels[keep]
 
         cls_logits = self._load_cls_logits(vid, fstart, fend)
         return SegmentRecord(
@@ -237,6 +243,89 @@ def pick_bucket(num_tracklets: int, buckets: Sequence[int]) -> int:
     return max(buckets)
 
 
+def batch_buffers(
+    template: SegmentRecord,
+    batch_size: int,
+    n_bucket: int,
+    num_predicates: int,
+    num_objects: int,
+    feature_dim: int,
+    feats_dtype=np.float32,
+) -> Dict[str, np.ndarray]:
+    """Allocate zeroed "SegmentBatch" leaves for a whole batch:
+      feats       (B, P_max, D)       P_max = n_bucket * (n_bucket - 1)
+      pairs       (B, P_max, 2) int32 padded entries point at tracklet 0
+      labels      (B, P_max, num_predicates) — only when the template
+                  record carries labels (inference loaders skip them)
+      pair_mask   (B, P_max) float32  1 for real pairs
+      cls_logits  (B, n_bucket, num_objects)
+      track_mask  (B, n_bucket) float32
+      feat_scale  (B, P_max, 16) float32 — only for q8 records
+      trk_feats/trk_scales — only for factored (q8f) records
+
+    Records are written straight into these buffers (fill_padded) so a
+    batch costs ONE zero-fill + one copy per leaf instead of the former
+    per-record pad arrays + an np.stack re-copy — the assembly was a
+    top host cost of the scored portion on this 1-core host.
+    """
+    p_max = n_bucket * (n_bucket - 1)
+    if template.q8_scales is not None:
+        feats_dtype = np.int8
+    bufs = {
+        "feats": np.zeros((batch_size, p_max, feature_dim), feats_dtype),
+        "pairs": np.zeros((batch_size, p_max, 2), np.int32),
+        "pair_mask": np.zeros((batch_size, p_max), np.float32),
+        "cls_logits": np.zeros((batch_size, n_bucket, num_objects),
+                               np.float32),
+        "track_mask": np.zeros((batch_size, n_bucket), np.float32),
+    }
+    if template.labels is not None:
+        bufs["labels"] = np.zeros((batch_size, p_max, num_predicates),
+                                  np.float32)
+    if template.q8_scales is not None:
+        # padded rows are all-zero features: any scale multiplies zeros
+        bufs["feat_scale"] = np.zeros((batch_size, p_max, 16), np.float32)
+    if template.trk_feats is not None:
+        bufs["trk_feats"] = np.zeros(
+            (batch_size, n_bucket, template.trk_feats.shape[1]), np.int8
+        )
+        bufs["trk_scales"] = np.zeros((batch_size, n_bucket, 16), np.float32)
+    return bufs
+
+
+def fill_padded(
+    bufs: Dict[str, np.ndarray], b: int, record: SegmentRecord, n_bucket: int
+) -> None:
+    """Write one SegmentRecord into batch slot ``b`` of batch_buffers."""
+    n = min(record.num_proposals, n_bucket)
+    p_max = n_bucket * (n_bucket - 1)
+    keep = (record.pairs[:, 0] < n) & (record.pairs[:, 1] < n)
+    if keep.all():  # common case: no extra boolean-index copies
+        feats_src, pairs_src = record.feats, record.pairs
+        labels_src, scales_src = record.labels, record.q8_scales
+    else:
+        feats_src = record.feats[keep]
+        pairs_src = record.pairs[keep]
+        labels_src = None if record.labels is None else record.labels[keep]
+        scales_src = (
+            None if record.q8_scales is None else record.q8_scales[keep]
+        )
+    p = min(feats_src.shape[0], p_max)
+    bufs["feats"][b, :p] = feats_src[:p]
+    bufs["pairs"][b, :p] = pairs_src[:p]
+    bufs["pair_mask"][b, :p] = 1.0
+    if "labels" in bufs:
+        bufs["labels"][b, :p] = labels_src[:p]
+    m = min(record.cls_logits.shape[0], n)
+    bufs["cls_logits"][b, :m] = record.cls_logits[:m]
+    bufs["track_mask"][b, :n] = 1.0
+    if "feat_scale" in bufs:
+        bufs["feat_scale"][b, :p] = scales_src[:p]
+    if "trk_feats" in bufs:
+        bufs["trk_feats"][b, :n] = record.trk_feats[:n]
+        bufs["trk_scales"][b, :n] = record.trk_scales[:n]
+
+
 def pad_record(
     record: SegmentRecord,
     n_bucket: int,
@@ -245,67 +334,14 @@ def pad_record(
     feature_dim: int,
     feats_dtype=np.float32,
 ) -> Dict[str, np.ndarray]:
-    """Pad one SegmentRecord to a fixed (n_bucket) tracklet capacity.
-
-    Returns the per-segment "SegmentBatch" leaves (unbatched):
-      feats       (P_max, D)         P_max = n_bucket * (n_bucket - 1)
-      pairs       (P_max, 2) int32   padded entries point at tracklet 0
-      labels      (P_max, num_predicates)
-      pair_mask   (P_max,) float32   1 for real pairs
-      cls_logits  (n_bucket, num_objects)
-      track_mask  (n_bucket,) float32
-      feat_scale  (P_max, 16) float32 — only for q8 records (int8 feats)
-    """
-    n = min(record.num_proposals, n_bucket)
-    p_max = n_bucket * (n_bucket - 1)
-    d = feature_dim
-    q8 = record.q8_scales is not None
-    if q8:
-        feats_dtype = np.int8
-
-    keep = (record.pairs[:, 0] < n) & (record.pairs[:, 1] < n)
-    feats_src = record.feats[keep]
-    pairs_src = record.pairs[keep]
-    labels_src = record.labels[keep]
-    p = min(feats_src.shape[0], p_max)
-
-    feats = np.zeros((p_max, d), dtype=feats_dtype)
-    pairs = np.zeros((p_max, 2), dtype=np.int32)
-    labels = np.zeros((p_max, num_predicates), dtype=np.float32)
-    pair_mask = np.zeros((p_max,), dtype=np.float32)
-    feats[:p] = feats_src[:p]
-    pairs[:p] = pairs_src[:p]
-    labels[:p] = labels_src[:p]
-    pair_mask[:p] = 1.0
-
-    cls_logits = np.zeros((n_bucket, num_objects), dtype=np.float32)
-    m = min(record.cls_logits.shape[0], n)
-    cls_logits[:m] = record.cls_logits[:m]
-    track_mask = np.zeros((n_bucket,), dtype=np.float32)
-    track_mask[:n] = 1.0
-
-    out = {
-        "feats": feats,
-        "pairs": pairs,
-        "labels": labels,
-        "pair_mask": pair_mask,
-        "cls_logits": cls_logits,
-        "track_mask": track_mask,
-    }
-    if q8:
-        # padded rows are all-zero features: any scale multiplies zeros
-        feat_scale = np.zeros((p_max, 16), dtype=np.float32)
-        feat_scale[:p] = record.q8_scales[keep][:p]
-        out["feat_scale"] = feat_scale
-    if record.trk_feats is not None:
-        td = record.trk_feats.shape[1]
-        trk = np.zeros((n_bucket, td), dtype=np.int8)
-        trk[:n] = record.trk_feats[:n]
-        trk_s = np.zeros((n_bucket, 16), dtype=np.float32)
-        trk_s[:n] = record.trk_scales[:n]
-        out["trk_feats"] = trk
-        out["trk_scales"] = trk_s
-    return out
+    """Pad one SegmentRecord to a fixed (n_bucket) tracklet capacity —
+    the unbatched (B=1-squeezed) view of batch_buffers/fill_padded."""
+    bufs = batch_buffers(
+        record, 1, n_bucket, num_predicates, num_objects, feature_dim,
+        feats_dtype=feats_dtype,
+    )
+    fill_padded(bufs, 0, record, n_bucket)
+    return {k: v[0] for k, v in bufs.items()}
 
 
 def stack_records(padded: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

@@ -345,6 +345,7 @@ def predict_segments(
         max_iter=None,
         shuffle=False,
         include_records=True,
+        include_labels=False,  # no label consumer at inference
     )
     if infer is None:
         infer = build_infer(cfg, model, params, dataset)
