@@ -65,6 +65,21 @@ def test_include_records_yields_records(cfg, train_ds):
         assert records[0].index == indices[0]
 
 
+def test_include_labels_false_drops_label_leaf(cfg, train_ds):
+    """Inference loaders skip labels entirely; every other leaf is
+    identical to the labelled batch (same order: shuffle=False)."""
+    with_l = list(_loader(cfg, train_ds, max_iter=3, shuffle=False))
+    without = list(
+        _loader(cfg, train_ds, max_iter=3, shuffle=False,
+                include_labels=False)
+    )
+    for (bk_a, a, idx_a), (bk_b, b, idx_b) in zip(with_l, without):
+        assert bk_a == bk_b and idx_a == idx_b
+        assert "labels" in a and "labels" not in b
+        for key in b:
+            np.testing.assert_array_equal(a[key], b[key])
+
+
 def test_show_mot_results_renders(tmp_path):
     from PIL import Image
 
