@@ -49,6 +49,17 @@ def main():
     parser.add_argument("--max_videos", type=int, default=0)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 detector inference (f32 params)")
+    parser.add_argument("--appearance",
+                        choices=["learned", "geometric", "idt"],
+                        default=None,
+                        help="visual-feature source for the relation "
+                             "features (default: the config default, "
+                             "FEATURES.APPEARANCE; 'idt' = pixel "
+                             "HoG/HoF/MBH bags, features/idt)")
+    parser.add_argument("--reid_ckpt", default=None,
+                        help="appearance-encoder checkpoint "
+                             "(tracking/reid_train output) for the "
+                             "learned source; random-init otherwise")
     args = parser.parse_args()
 
     import jax
@@ -60,8 +71,10 @@ def main():
     from tspn_tpu.data.vocab import VIDOR_OBJECTS, VIDVRD_OBJECTS
     from tspn_tpu.detection.rcnn import DetectionConfig, FasterRCNN
     from tspn_tpu.pipeline import (
+        appearance_from_config,
         detect_video_frames,
         extract_video_artifacts,
+        idt_from_config,
         tracks_from_detections,
     )
     from tspn_tpu.runtime.checkpoint import load_checkpoint
@@ -69,6 +82,16 @@ def main():
 
     logger = setup_logger("run_pipeline", save_dir="logs")
     set_output_dir(args.output_dir)
+
+    cfg = get_default_config()
+    if args.appearance:
+        cfg.FEATURES.APPEARANCE = args.appearance
+    encode_fn = None
+    if cfg.FEATURES.APPEARANCE == "learned":
+        from tspn_tpu.pipeline import build_appearance_encoder
+
+        encode_fn = build_appearance_encoder(args.reid_ckpt)
+    logger.info(f"visual-feature source: {cfg.FEATURES.APPEARANCE}")
 
     root = os.path.join(args.data_dir, args.dataset)
     if args.dataset == "vidvrd":
@@ -105,6 +128,9 @@ def main():
     for vid in vids:
         frames, scale = load_video_frames(args.frame_dir, vid, args.image_size)
         dets = detect_video_frames(model, params, frames)
+        # learned embeddings crop patches from the (letterboxed) frames,
+        # so compute them while boxes are still in frame coordinates
+        app = appearance_from_config(cfg, frames, dets, encode_fn=encode_fn)
         # boxes back to original-resolution coordinates
         dets["boxes"] = dets["boxes"] / scale
         t_num, d_num = dets["classes"].shape
@@ -116,22 +142,39 @@ def main():
             for t in range(t_num)
         ])
         dets["classeme"] = classemes
-        tracks = tracks_from_detections(dets)
+        if app is not None:
+            dets["appearance"] = app
+        tracks = tracks_from_detections(
+            dets, classeme_as_appearance=app is None
+        )
+        # idt bags pool frame content inside the TRACK slots (computed
+        # after tracking); slot boxes go back to frame coordinates
+        slot_idt = idt_from_config(
+            cfg, frames,
+            {"tlwh": tracks["tlwh"] * scale, "visible": tracks["visible"]},
+        )
 
-        # per-slot classemes by nearest detection center
+        # per-slot classemes (+ learned appearance) by nearest detection
+        # center
         k_num = tracks["track_id"].shape[1]
         slot_classemes = np.zeros((t_num, k_num, num_classes), np.float32)
+        slot_app = (
+            np.zeros((t_num, k_num, app.shape[-1]), np.float32)
+            if app is not None else None
+        )
         for t in range(t_num):
             centers = (dets["boxes"][t][:, :2] + dets["boxes"][t][:, 2:]) / 2
             for slot in np.flatnonzero(tracks["visible"][t]):
                 tb = tracks["tlwh"][t, slot]
                 tc = tb[:2] + tb[2:] / 2
-                slot_classemes[t, slot] = classemes[t][
-                    np.argmin(((centers - tc) ** 2).sum(-1))
-                ]
+                nearest = int(np.argmin(((centers - tc) ** 2).sum(-1)))
+                slot_classemes[t, slot] = classemes[t][nearest]
+                if slot_app is not None:
+                    slot_app[t, slot] = app[t, nearest]
         n = extract_video_artifacts(
             basedata, vid, tracks, slot_classemes,
             include_gt="train" in args.split, num_classes=num_classes,
+            appearance_per_frame=slot_app, idt_per_frame=slot_idt,
         )
         total += n
         logger.info(f"{vid}: {n} segments")
