@@ -121,6 +121,49 @@ def test_pruned_infer_equals_full_when_k_covers_all_pairs(ppn_trained):
     np.testing.assert_array_equal(got[3], ref[3])           # valid mask
 
 
+def test_pruned_q8f_equals_full_q8f(ppn_trained, tmp_path):
+    """PPN pruning composes with the factored (q8f) store: K = P must
+    reproduce the unpruned q8f selection exactly (the factored kernel
+    scores arbitrary pair lists, so pruning is just a row gather)."""
+    import numpy as _np
+
+    from tspn_tpu.data.loader import BucketedLoader
+    from tspn_tpu.data.preprocess import (
+        ConsolidatedSegmentDataset,
+        consolidate_split,
+    )
+    from tspn_tpu.runtime.predict import (
+        _make_batched_infer,
+        _q8f_classifier_weights,
+    )
+
+    cfg, dataset, model, state, seg_ds = ppn_trained
+    path = consolidate_split(
+        cfg, dataset, "test", str(tmp_path / "q8f.hdf5"), quantize="q8f"
+    )
+    ds = ConsolidatedSegmentDataset(cfg, path)
+    loader = BucketedLoader(
+        ds, buckets=cfg.BUCKETS.NUM_TRACKLETS, batch_size=2,
+        feature_dim=ds.feature_width(), feats_dtype=_np.int8,
+        num_predicates=cfg.PREDICT.PREDICATE_NUM,
+        num_objects=cfg.PREDICT.OBJECT_NUM,
+        max_iter=None, shuffle=False,
+    )
+    bucket, batch, *_ = next(iter(loader))
+    p = batch["feats"].shape[1]
+    q8fw = _q8f_classifier_weights(cfg, state.params)
+    full = _make_batched_infer(model, 5, 20, q8f_weights=q8fw)
+    pruned = _make_batched_infer(
+        model, 5, 20, num_pair_proposals=p, q8f_weights=q8fw
+    )
+    ref = [np.asarray(x) for x in full(state.params, batch)]
+    got = [np.asarray(x) for x in pruned(state.params, batch)]
+    np.testing.assert_allclose(got[0], ref[0], rtol=1e-5)          # scores
+    np.testing.assert_array_equal(got[1][ref[3]], ref[1][ref[3]])  # pair rows
+    np.testing.assert_array_equal(got[2][ref[3]], ref[2][ref[3]])  # predicates
+    np.testing.assert_array_equal(got[3], ref[3])                  # valid
+
+
 def test_ppn_pruning_keeps_map_with_fewer_scored_pairs(ppn_trained):
     """PPN-on must score materially fewer pairs without losing mAP
     (the trained PPN ranks the related pairs on top)."""

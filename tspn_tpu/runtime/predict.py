@@ -117,16 +117,27 @@ def _q8f_classifier_weights(cfg, params):
 
 def _make_q8f_scorer(q8f_weights):
     """Factored scorer: trk descriptors + rel rows + pairs -> (B, P, R)
-    logits (ops/pairwise.factored_classify_q8_batched)."""
+    logits (ops/pairwise.factored_classify_q8_batched).
+
+    With `top_rows` (B, K) — PPN-selected pair rows — only those rel
+    rows (and their pair indices) are scored: the factored kernel takes
+    ARBITRARY pair lists, so pruning composes with it directly."""
     wq, b, layout = q8f_weights
 
-    def score(batch):
+    def score(batch, top_rows=None):
         from tspn_tpu.ops.pairwise import factored_classify_q8_batched
 
+        rel_q, rel_s, pairs = (
+            batch["feats"], batch["feat_scale"], batch["pairs"]
+        )
+        if top_rows is not None:
+            idx = top_rows[..., None]
+            rel_q = jnp.take_along_axis(rel_q, idx, axis=1)
+            rel_s = jnp.take_along_axis(rel_s, idx, axis=1)
+            pairs = jnp.take_along_axis(pairs, idx, axis=1)
         return factored_classify_q8_batched(
             batch["trk_feats"], batch["trk_scales"],
-            batch["feats"], batch["feat_scale"],
-            batch["pairs"], wq, b, layout=layout,
+            rel_q, rel_s, pairs, wq, b, layout=layout,
         )
 
     return score
@@ -199,12 +210,6 @@ def _make_batched_infer(
     q8f_score = (
         _make_q8f_scorer(q8f_weights) if q8f_weights is not None else None
     )
-    if q8f_score is not None and num_pair_proposals > 0:
-        raise NotImplementedError(
-            "PPN inference pruning over a factored (q8f) store is not "
-            "supported — prune operates on full pair-feature rows; use "
-            "CONSOLIDATED='q8' with PRUNE_AT_INFERENCE"
-        )
 
     def infer_impl(params, batch):
         if num_pair_proposals <= 0:
@@ -238,15 +243,21 @@ def _make_batched_infer(
         top_rows, keep, ppn_scores = jax.vmap(rank_pairs)(
             pair_logits, batch["pairs"], batch["pair_mask"]
         )
-        feats_k = jnp.take_along_axis(
-            batch["feats"], top_rows[..., None], axis=1
-        )  # (B, K, D) — only these K rows hit the classifier matmul
-        if q8_score is not None:
+        # only the K selected rows hit the (hot) classifier
+        if q8f_score is not None:
+            rel_logits = q8f_score(batch, top_rows)
+        elif q8_score is not None:
+            feats_k = jnp.take_along_axis(
+                batch["feats"], top_rows[..., None], axis=1
+            )
             scales_k = jnp.take_along_axis(
                 batch["feat_scale"], top_rows[..., None], axis=1
             )
             rel_logits = q8_score(feats_k, scales_k)
         else:
+            feats_k = jnp.take_along_axis(
+                batch["feats"], top_rows[..., None], axis=1
+            )
             rel_logits = model.apply(
                 {"params": params}, feats_k, method=lambda m, f: m.classifier(f)
             )
