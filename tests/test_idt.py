@@ -245,3 +245,20 @@ def test_idt_per_slot_from_tracks():
     out = idt.idt_per_slot(frames, track_out)
     assert out.shape == (t, 2, idt.IDT_DIM)
     assert np.isfinite(out).all()
+
+
+def test_idt_per_slot_chunked_equals_unchunked():
+    """Chunked map computation (the memory-bounded path for long
+    videos) must reproduce the whole-video pass exactly — the one-frame
+    tail overlap preserves every flow pair."""
+    frames, static_box, moving_boxes = _moving_vs_static_frames(t=11)
+    t = frames.shape[0]
+    track_out = {
+        "tlwh": np.stack(
+            [np.tile(static_box, (t, 1)), moving_boxes[:t]], axis=1
+        ),
+        "visible": np.ones((t, 2), bool),
+    }
+    whole = idt.idt_per_slot(frames, track_out, chunk=t)
+    chunked = idt.idt_per_slot(frames, track_out, chunk=4)
+    np.testing.assert_allclose(chunked, whole, rtol=1e-5, atol=1e-6)

@@ -310,8 +310,43 @@ def slot_idt_assignments(
 
 
 def idt_per_slot(
-    frames: np.ndarray, track_out: Dict[str, np.ndarray]
+    frames: np.ndarray,
+    track_out: Dict[str, np.ndarray],
+    chunk: int = 64,
 ) -> np.ndarray:
-    """Convenience: frames + tracker output -> (T, K, 3000) assignments."""
-    maps = compute_idt_maps(frames)
-    return slot_idt_assignments(maps, track_out["tlwh"], track_out["visible"])
+    """Convenience: frames + tracker output -> (T, K, 3000) assignments.
+
+    Processed in ``chunk``-frame windows: the integral histogram maps
+    are the memory hog ((T, Hs+1, Ws+1, 33) f32 — ~5 GB for a 600-frame
+    clip at 1/4-scale 1080p), while the per-slot assignments they
+    produce are small. Each window recomputes flow with a one-frame
+    tail overlap so flow[t] (t -> t+1) is identical to the unchunked
+    pass for every t except the global final frame (which reuses its
+    last pair either way) — chunked output is exactly equal.
+    """
+    t = frames.shape[0]
+    if t <= chunk:
+        maps = compute_idt_maps(frames)
+        return slot_idt_assignments(
+            maps, track_out["tlwh"], track_out["visible"]
+        )
+    outs = []
+    for lo in range(0, t, chunk):
+        hi = min(lo + chunk, t)
+        # +1 tail frame so in-window flow pairs match the unchunked pass
+        # (the window's last frame uses the real (hi-1 -> hi) pair
+        # instead of duplicating its previous one)
+        ext = min(hi + 1, t)
+        maps = compute_idt_maps(frames[lo:ext])
+        a = slot_idt_assignments(
+            IDTMaps(
+                hog=maps.hog[: hi - lo],
+                hof=maps.hof[: hi - lo],
+                mbh=maps.mbh[: hi - lo],
+                scale=maps.scale,
+            ),
+            track_out["tlwh"][lo:hi],
+            track_out["visible"][lo:hi],
+        )
+        outs.append(a)
+    return np.concatenate(outs, axis=0)
