@@ -102,3 +102,51 @@ def test_orientation_follows_valid_counts_not_padded_shape():
         gated_assignment(jnp.asarray(cost), jnp.asarray(rows), jnp.asarray(cols), 0.2)
     )
     assert r2c[0] == 0 and r2c[1] == 1 and r2c[3] == 3 and r2c[4] == 4
+
+
+def test_augmenting_chain_reaches_full_matching():
+    """Chain-structured costs where the only full matching shifts every
+    row by one column: a dummy price that does not scale with n made
+    the solver leave the chain's last row unmatched (scipy matches all
+    four). Regression for the n-scaled dummy-column price."""
+    import jax.numpy as jnp
+
+    from tspn_tpu.ops.assignment import auction_assignment
+
+    n = 4
+    cost = np.full((n, n), 1e9, np.float32)
+    for i in range(3):
+        cost[i, i] = 0.0      # cheap identity option
+        cost[i, i + 1] = 1.0  # shifted option
+    cost[3, 0] = 1.0          # last row only matches column 0
+    out = np.asarray(
+        auction_assignment(
+            jnp.asarray(cost), jnp.ones(n, bool), jnp.ones(n, bool)
+        )
+    )
+    np.testing.assert_array_equal(out, [1, 2, 3, 0])
+
+
+def test_long_chain_matches_scipy_cardinality_and_cost():
+    """Longer chains (n=12) under a gate cap, vs the scipy oracle."""
+    import jax.numpy as jnp
+    from scipy.optimize import linear_sum_assignment
+
+    from tspn_tpu.ops.assignment import auction_assignment
+
+    n = 12
+    cost = np.full((n, n), 1e9, np.float32)
+    for i in range(n - 1):
+        cost[i, i] = 0.0
+        cost[i, i + 1] = 0.7  # DeepSORT IoU-cost cap scale
+    cost[n - 1, 0] = 0.7
+    out = np.asarray(
+        auction_assignment(
+            jnp.asarray(cost), jnp.ones(n, bool), jnp.ones(n, bool)
+        )
+    )
+    r, c = linear_sum_assignment(np.where(cost > 1e8, 1e5, cost))
+    total_ref = cost[r, c].sum()
+    assert (out >= 0).all()
+    total_got = cost[np.arange(n), out].sum()
+    assert total_got == pytest.approx(total_ref)

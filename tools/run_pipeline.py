@@ -164,10 +164,16 @@ def main():
         )
         for t in range(t_num):
             centers = (dets["boxes"][t][:, :2] + dets["boxes"][t][:, 2:]) / 2
+            # masked/padded detection slots sit at the origin and must
+            # not win the argmin (zero classemes/embeddings)
+            dmask = np.asarray(dets["mask"][t], bool)
+            if not dmask.any():
+                continue
             for slot in np.flatnonzero(tracks["visible"][t]):
                 tb = tracks["tlwh"][t, slot]
                 tc = tb[:2] + tb[2:] / 2
-                nearest = int(np.argmin(((centers - tc) ** 2).sum(-1)))
+                d2 = np.where(dmask, ((centers - tc) ** 2).sum(-1), np.inf)
+                nearest = int(np.argmin(d2))
                 slot_classemes[t, slot] = classemes[t][nearest]
                 if slot_app is not None:
                     slot_app[t, slot] = app[t, nearest]

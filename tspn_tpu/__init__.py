@@ -34,20 +34,30 @@ def _enable_compilation_cache() -> None:
     every re-run after the first warm. Opt out with
     TSPN_NO_COMPILE_CACHE=1; cache dir override via JAX_COMPILATION_CACHE_DIR.
 
-    On the experimental 'axon' remote-compile backend the cache is
-    OPT-IN (TSPN_COMPILE_CACHE=1): executable serialization through
-    that plugin was observed to hang specific programs (the fused
-    Pallas inference path) indefinitely.
+    On anything but a definite real-TPU platform the cache is OPT-IN
+    (TSPN_COMPILE_CACHE=1): the experimental 'axon' remote-compile
+    backend was observed to hang specific programs during executable
+    serialization (the fused Pallas inference path), and CPU AOT
+    artifacts are machine-feature-sensitive (a cache populated before
+    an XLA-flag or CPU-feature change can deserialize stale
+    executables). The platform is read from jax.config (which callers
+    like demo_clip --cpu set BEFORE importing tspn_tpu) with the
+    JAX_PLATFORMS env as fallback.
     """
     if _os.environ.get("TSPN_NO_COMPILE_CACHE"):
         return
-    if (
-        "axon" in _os.environ.get("JAX_PLATFORMS", "")
-        and not _os.environ.get("TSPN_COMPILE_CACHE")
-    ):
-        return
     try:
         import jax
+
+        platforms = (
+            getattr(jax.config, "jax_platforms", None)
+            or _os.environ.get("JAX_PLATFORMS", "")
+            or ""
+        )
+        if "tpu" not in platforms and not _os.environ.get(
+            "TSPN_COMPILE_CACHE"
+        ):
+            return
 
         cache_dir = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",

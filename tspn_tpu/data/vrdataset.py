@@ -344,6 +344,3 @@ def pad_record(
     return {k: v[0] for k, v in bufs.items()}
 
 
-def stack_records(padded: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    """Stack same-bucket padded segments into a leading batch dimension."""
-    return {k: np.stack([p[k] for p in padded], axis=0) for k in padded[0]}

@@ -79,7 +79,11 @@ class RelationPredictor(nn.Module):
                 # pair features are pipeline inputs with no gradient
                 # consumer, so the dx chain (the reason the general
                 # custom VJP measured 58 vs 30 ms/step in round 2) is
-                # skipped entirely
+                # skipped entirely. CONTRACT: the feature cotangent is a
+                # structural ZERO — if a learned module is ever inserted
+                # upstream of the classifier (feature adapter, learned
+                # BoW), it would silently train with zero gradient; use
+                # normalize_classify_fused (general VJP) instead then.
                 out = normalize_classify_fused_nofeatgrad(
                     flat, kernel.astype(self.dtype), bias, layout=layout
                 )

@@ -47,13 +47,19 @@ def auction_assignment(
     maximizes the number of real matches (scipy's rectangular behavior),
     then minimizes their cost.
 
+    The dummy price must scale with n: growing the real matching by one
+    can reshuffle an augmenting CHAIN of up to n edges, raising the
+    real-cost sum by up to (2n-1)*spread — a constant 2*spread+1 dummy
+    made the solver prefer leaving a chain's last row unmatched
+    (regression: tests/test_assignment.py chain case).
+
     (Name kept from the earlier auction-based implementation for API
     stability; the solver is LAPJV.)
     """
     n, m = cost.shape
     feasible = row_valid[:, None] & col_valid[None, :] & (cost < BIG / 2)
     spread = jnp.clip(jnp.max(jnp.where(feasible, jnp.abs(cost), 0.0)), 1.0)
-    dummy = 2.0 * spread + 1.0
+    dummy = 2.0 * spread * (n + 1) + 1.0
     cost_pad = jnp.concatenate(
         [cost, jnp.full((n, n), jnp.float32(1.0)) * dummy], axis=1
     )

@@ -715,21 +715,32 @@ def factor_expanded_rows_q8(
         layout = FeatureLayout.from_dim(feats.shape[-1])
     c = layout.classeme_dim
     n = num_tracklets
-    cls = np.zeros((n, c), np.float32)
-    bow = np.zeros((n, layout.num_bow_blocks // 2 * layout.bow_block_size),
-                   np.float32)
     half = layout.num_bow_blocks // 2 * layout.bow_block_size
-    seen = np.zeros(n, bool)
-    for r in range(feats.shape[0]):
-        i, j = int(pairs[r, 0]), int(pairs[r, 1])
-        if not seen[i]:
-            cls[i] = feats[r, :c]
-            bow[i] = feats[r, layout.bow_start : layout.bow_start + half]
-            seen[i] = True
-        if not seen[j]:
-            cls[j] = feats[r, c : 2 * c]
-            bow[j] = feats[r, layout.bow_start + half : layout.rel_start]
-            seen[j] = True
+    cls = np.zeros((n, c), np.float32)
+    bow = np.zeros((n, half), np.float32)
+    # first-occurrence row per tracklet in each role (the sequential
+    # scan this replaces took each tracklet's descriptors from its
+    # earliest row, subject role winning ties within a row)
+    p = pairs.shape[0]
+    first = np.full((n, 2), p, np.int64)  # (tracklet, role) -> row
+    for role in (0, 1):
+        ids, idx = np.unique(pairs[:, role].astype(np.int64),
+                             return_index=True)
+        keep = (ids >= 0) & (ids < n)
+        first[ids[keep], role] = idx[keep]
+    use_sub = first[:, 0] <= first[:, 1]
+    row = np.where(use_sub, first[:, 0], first[:, 1])
+    seen = row < p
+    sub_rows = seen & use_sub
+    obj_rows = seen & ~use_sub
+    cls[sub_rows] = feats[row[sub_rows], :c]
+    bow[sub_rows] = feats[
+        row[sub_rows], layout.bow_start : layout.bow_start + half
+    ]
+    cls[obj_rows] = feats[row[obj_rows], c : 2 * c]
+    bow[obj_rows] = feats[
+        row[obj_rows], layout.bow_start + half : layout.rel_start
+    ]
     trk_q, trk_scales = factor_tracklet_features_q8(cls, bow, layout)
     rel_q, rel_scales = factor_rel_features_q8(
         feats[:, layout.rel_start :], layout
