@@ -233,3 +233,35 @@ def test_load_video_frames_letterbox(tmp_path):
     # letterbox pads bottom (90*scale = 48 rows of content)
     assert frames[0, :48].std() > 0
     assert np.allclose(frames[0, 49:], 0.0)
+
+
+def test_slot_features_exclude_masked_detections():
+    """Masked/padded detections (origin boxes) must not win the nearest-
+    detection argmin; invisible slots stay zero; frames with no valid
+    detections stay zero."""
+    from tspn_tpu.pipeline import slot_features_from_detections
+
+    t, d, k = 3, 2, 2
+    boxes = np.zeros((t, d, 4), np.float32)
+    boxes[:, 1] = [10.0, 10.0, 14.0, 14.0]  # real detection at (12, 12)
+    mask = np.zeros((t, d), bool)
+    mask[0, 1] = mask[1, 1] = True  # frame 2 has no valid detections
+    feats = np.zeros((t, d, 3), np.float32)
+    feats[:, 0] = 99.0  # masked slot's features must never appear
+    feats[:, 1] = 7.0
+
+    tlwh = np.zeros((t, k, 4), np.float32)
+    tlwh[:, 0] = [0.0, 0.0, 2.0, 2.0]   # track at the origin (nearest to
+    #                                     the masked slot by distance)
+    visible = np.zeros((t, k), bool)
+    visible[:, 0] = True
+
+    out = slot_features_from_detections(
+        {"tlwh": tlwh, "visible": visible},
+        {"boxes": boxes, "mask": mask},
+        {"f": feats},
+    )["f"]
+    np.testing.assert_array_equal(out[0, 0], [7.0, 7.0, 7.0])
+    np.testing.assert_array_equal(out[1, 0], [7.0, 7.0, 7.0])
+    np.testing.assert_array_equal(out[2, 0], 0.0)  # no valid detections
+    np.testing.assert_array_equal(out[:, 1], 0.0)  # invisible slot

@@ -61,6 +61,7 @@ def main():
         _segment_tracklets,
         appearance_from_config,
         idt_from_config,
+        slot_features_from_detections,
         tracks_from_detections,
     )
 
@@ -184,29 +185,14 @@ def main():
     n_tracks = len(set(tracks["track_id"][tracks["visible"]].tolist()))
     print(f"[demo] tracking: {n_tracks} confirmed tracks")
 
-    # slot classemes (+ appearance): nearest detection per visible slot
-    t_num, k_num = tracks["track_id"].shape
-    slot_classemes = np.zeros((t_num, k_num, 35), np.float32)
-    slot_app = (
-        np.zeros((t_num, k_num, app.shape[-1]), np.float32)
-        if app is not None else None
-    )
-    for t in range(t_num):
-        db = dets["boxes"][t]
-        centers = (db[:, :2] + db[:, 2:]) / 2
-        # masked/padded detection slots sit at the origin and must not
-        # win the argmin (they'd assign zero classemes/embeddings)
-        dmask = np.asarray(dets["mask"][t], bool)
-        if not dmask.any():
-            continue
-        for slot in np.flatnonzero(tracks["visible"][t]):
-            tb = tracks["tlwh"][t, slot]
-            tc = tb[:2] + tb[2:] / 2
-            d2 = np.where(dmask, ((centers - tc) ** 2).sum(-1), np.inf)
-            nearest = int(np.argmin(d2))
-            slot_classemes[t, slot] = classemes[t][nearest]
-            if slot_app is not None:
-                slot_app[t, slot] = app[t, nearest]
+    # slot classemes (+ appearance): nearest unmasked detection per
+    # visible slot (tspn_tpu.pipeline.slot_features_from_detections)
+    per_det = {"classeme": classemes}
+    if app is not None:
+        per_det["appearance"] = app
+    slots = slot_features_from_detections(tracks, dets, per_det)
+    slot_classemes = slots["classeme"]
+    slot_app = slots.get("appearance")
 
     # ---- 3. per-segment features
     segs = segment_video(0, frames.shape[0])

@@ -75,6 +75,7 @@ def main():
         detect_video_frames,
         extract_video_artifacts,
         idt_from_config,
+        slot_features_from_detections,
         tracks_from_detections,
     )
     from tspn_tpu.runtime.checkpoint import load_checkpoint
@@ -155,28 +156,13 @@ def main():
         )
 
         # per-slot classemes (+ learned appearance) by nearest detection
-        # center
-        k_num = tracks["track_id"].shape[1]
-        slot_classemes = np.zeros((t_num, k_num, num_classes), np.float32)
-        slot_app = (
-            np.zeros((t_num, k_num, app.shape[-1]), np.float32)
-            if app is not None else None
-        )
-        for t in range(t_num):
-            centers = (dets["boxes"][t][:, :2] + dets["boxes"][t][:, 2:]) / 2
-            # masked/padded detection slots sit at the origin and must
-            # not win the argmin (zero classemes/embeddings)
-            dmask = np.asarray(dets["mask"][t], bool)
-            if not dmask.any():
-                continue
-            for slot in np.flatnonzero(tracks["visible"][t]):
-                tb = tracks["tlwh"][t, slot]
-                tc = tb[:2] + tb[2:] / 2
-                d2 = np.where(dmask, ((centers - tc) ** 2).sum(-1), np.inf)
-                nearest = int(np.argmin(d2))
-                slot_classemes[t, slot] = classemes[t][nearest]
-                if slot_app is not None:
-                    slot_app[t, slot] = app[t, nearest]
+        # center (masked detection slots excluded)
+        per_det = {"classeme": classemes}
+        if app is not None:
+            per_det["appearance"] = app
+        slots = slot_features_from_detections(tracks, dets, per_det)
+        slot_classemes = slots["classeme"]
+        slot_app = slots.get("appearance")
         n = extract_video_artifacts(
             basedata, vid, tracks, slot_classemes,
             include_gt="train" in args.split, num_classes=num_classes,

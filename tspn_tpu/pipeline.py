@@ -153,6 +153,45 @@ def idt_from_config(
     return idt_per_slot(frames, track_out)
 
 
+def slot_features_from_detections(
+    tracks: Dict[str, np.ndarray],
+    detections: Dict[str, np.ndarray],
+    per_det: Dict[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """Map per-DETECTION feature arrays onto per-TRACK-SLOT arrays by
+    nearest detection center (the tracker does not retain which
+    detection fed each slot, so proximity recovers the association).
+
+    tracks: tracker output ("tlwh" (T, K, 4), "visible" (T, K)).
+    detections: "boxes" (T, D, 4) xyxy + "mask" (T, D) — masked/padded
+    slots sit at the origin and are excluded from the argmin (they would
+    otherwise win for tracks near the origin and assign zeros).
+    per_det: {name: (T, D, F)} feature arrays.
+    -> {name: (T, K, F)} with zeros at invisible slots.
+    """
+    boxes = np.asarray(detections["boxes"])
+    mask = np.asarray(detections["mask"], bool)
+    visible = np.asarray(tracks["visible"], bool)
+    tlwh = np.asarray(tracks["tlwh"])
+    t_num, k_num = visible.shape
+    out = {
+        name: np.zeros((t_num, k_num, arr.shape[-1]), np.float32)
+        for name, arr in per_det.items()
+    }
+    for t in range(t_num):
+        if not mask[t].any():
+            continue
+        centers = (boxes[t][:, :2] + boxes[t][:, 2:]) / 2
+        for slot in np.flatnonzero(visible[t]):
+            tb = tlwh[t, slot]
+            tc = tb[:2] + tb[2:] / 2
+            d2 = np.where(mask[t], ((centers - tc) ** 2).sum(-1), np.inf)
+            nearest = int(np.argmin(d2))
+            for name, arr in per_det.items():
+                out[name][t, slot] = arr[t, nearest]
+    return out
+
+
 def detect_video_frames(
     model, params, frames: np.ndarray, batch_size: int = 8
 ) -> Dict[str, np.ndarray]:
