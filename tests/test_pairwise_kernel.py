@@ -152,3 +152,54 @@ def test_nofeatgrad_vjp_matches_param_grads(rng):
     # and the reference dx is generally nonzero — the zero is a contract,
     # not an accident of the data
     assert float(jnp.abs(dx_r).max()) > 0.0
+
+
+def test_fused_vjps_mixed_dtype_bf16_kernel_f32_bias(rng):
+    """The production bf16 config (MODEL.DTYPE='bfloat16') casts the
+    kernel to bf16 while the Flax bias stays f32: both custom VJPs must
+    return cotangents in each primal's OWN dtype (db in f32) and compute
+    the normalization in f32 (regression: db was cast to the weight
+    dtype — a custom_vjp dtype-mismatch crash — and the nofeatgrad
+    backward normalized in bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tspn_tpu.ops.pairwise import (
+        DEFAULT_LAYOUT,
+        normalize_classify_device,
+        normalize_classify_fused,
+        normalize_classify_fused_nofeatgrad,
+        to_device_layout,
+    )
+
+    lo = DEFAULT_LAYOUT
+    p, r = 6, 5
+    feats = rng.randn(p, lo.dim).astype(np.float32)
+    x = jnp.asarray(to_device_layout(feats)).astype(jnp.bfloat16)
+    w = jnp.asarray(
+        (rng.randn(lo.device_dim, r) * 0.01).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.randn(r).astype(np.float32))  # f32, like Flax
+    g = jnp.asarray(rng.randn(p, r).astype(np.float32))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(
+            normalize_classify_device(
+                x.astype(jnp.float32), w.astype(jnp.float32), b
+            ) * g
+        )
+
+    dw_r, db_r = jax.grad(loss_ref, argnums=(1, 2))(x, w, b)
+    for fn in (normalize_classify_fused, normalize_classify_fused_nofeatgrad):
+        def loss(x, w, b, _fn=fn):
+            return jnp.sum(_fn(x, w, b) * g)
+
+        dw, db = jax.grad(loss, argnums=(1, 2))(x, w, b)  # must not raise
+        assert dw.dtype == jnp.bfloat16 and db.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(db), np.asarray(db_r), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(dw, np.float32), np.asarray(dw_r, np.float32),
+            rtol=0.05, atol=2e-3,  # bf16 forward/storage rounding
+        )

@@ -154,7 +154,13 @@ def _fused_for_layout(layout: FeatureLayout):
         return normalize_classify_pallas(feats_dev, w_dev, b, layout=layout)
 
     def fwd(feats_dev, w_dev, b):
-        return fused(feats_dev, w_dev, b), (feats_dev, w_dev)
+        # zero-size dtype carrier: db must come back in the BIAS primal
+        # dtype (mixed-dtype training keeps the Flax bias f32 while the
+        # kernel is cast to bf16 — returning db in w.dtype raised a
+        # custom_vjp dtype mismatch)
+        return fused(feats_dev, w_dev, b), (
+            feats_dev, w_dev, jnp.zeros((0,), b.dtype)
+        )
 
     def bwd(residuals, g):
         """Backward of y = N(x) @ W + b where N L1-normalizes the BoW slots.
@@ -163,11 +169,11 @@ def _fused_for_layout(layout: FeatureLayout):
             d x_b = u / s  -  sign(x_b) * <u, x_b> / s^2
         (head columns pass through). All matmuls — XLA fuses freely.
         """
-        x, w = residuals
+        x, w, b_proto = residuals
         g = g.astype(jnp.float32)
         xn = _normalize_device_layout(x.astype(jnp.float32), layout)
         dw = (xn.T @ g).astype(w.dtype)
-        db = jnp.sum(g, axis=0).astype(w.dtype)
+        db = jnp.sum(g, axis=0).astype(b_proto.dtype)
 
         u = g @ w.astype(jnp.float32).T  # (P, device_dim)
         p = x.shape[0]
@@ -220,17 +226,24 @@ def _fused_nofeatgrad_for_layout(layout: FeatureLayout):
         return normalize_classify_pallas(feats_dev, w_dev, b, layout=layout)
 
     def fwd(feats_dev, w_dev, b):
-        # zero-size dtype carrier: residuals must be JAX types
+        # zero-size dtype carriers: residuals must be JAX types, and db
+        # must come back in the BIAS primal dtype (see _fused_for_layout)
         return fused(feats_dev, w_dev, b), (
-            feats_dev, jnp.zeros((0,), w_dev.dtype)
+            feats_dev,
+            jnp.zeros((0,), w_dev.dtype),
+            jnp.zeros((0,), b.dtype),
         )
 
     def bwd(residuals, g):
-        x, w_proto = residuals
+        x, w_proto, b_proto = residuals
         g = g.astype(jnp.float32)
-        xn = _normalize_device_layout(x, layout).astype(jnp.float32)
+        # cast BEFORE normalizing: the block L1 sums and divisions must
+        # run in f32 like the Pallas forward's (and the general VJP's) —
+        # bf16 denominators would silently degrade dW on the production
+        # training path
+        xn = _normalize_device_layout(x.astype(jnp.float32), layout)
         dw = (xn.T @ g).astype(w_proto.dtype)
-        db = jnp.sum(g, axis=0).astype(w_proto.dtype)
+        db = jnp.sum(g, axis=0).astype(b_proto.dtype)
         return jnp.zeros_like(x), dw, db
 
     fused.defvjp(fwd, bwd)
@@ -708,8 +721,10 @@ def factor_expanded_rows_q8(
 ) -> tuple:
     """Factor EXPANDED h5 rows (the reference artifact format) into the
     per-tracklet + per-pair q8 representation. Tracklet n's descriptors
-    are taken from its first row as subject (and as object for tracklets
-    that never appear as subject). Returns
+    are taken from its EARLIEST row in either role (subject wins a
+    same-row tie; roles carry identical per-tracklet descriptors in
+    artifacts produced by features/extraction, so the choice only
+    matters for hand-built inputs). Returns
     (trk_q, trk_scales, rel_q, rel_scales)."""
     if layout is None:
         layout = FeatureLayout.from_dim(feats.shape[-1])
@@ -833,6 +848,19 @@ def rel_logits_q8(
     )
 
 
+def _trk_pass(trk_q, trk_scales, wq, layout: FeatureLayout):
+    """Per-tracklet q8s pass over the role-aligned PRE-PADDED weights:
+    -> (a (NT, 2*rp) partial logits [A_sub | A_obj], r, rp). The single
+    source for both the two-kernel and fused factored paths."""
+    r = wq["qw_rel"].shape[1]
+    rp = _round_up(r, 128)
+    a = normalize_classify_q8s_pallas(
+        trk_q, trk_scales, wq["qw_trk_fused"], wq["sw_trk_fused"],
+        jnp.zeros((2 * rp,), jnp.float32), layout=tracklet_geom(layout),
+    )
+    return a, r, rp
+
+
 def _padded_factored_passes(
     trk_q, trk_scales, rel_q, rel_scales, wq, b,
     layout: FeatureLayout, rel_row_tile: int = 1024,
@@ -845,12 +873,7 @@ def _padded_factored_passes(
     in-step lane padding of int8 weights measured ~1.4 ms/dispatch
     (tools/bench_rel_steps.py), so every operand here is padded ONCE at
     weight-prep time."""
-    r = wq["qw_rel"].shape[1]
-    rp = _round_up(r, 128)
-    a = normalize_classify_q8s_pallas(
-        trk_q, trk_scales, wq["qw_trk_fused"], wq["sw_trk_fused"],
-        jnp.zeros((2 * rp,), jnp.float32), layout=tracklet_geom(layout),
-    )
+    a, r, rp = _trk_pass(trk_q, trk_scales, wq, layout)
     b_pad = b if b.shape[-1] == rp else (
         jnp.zeros((rp,), jnp.float32).at[:r].set(b.astype(jnp.float32))
     )
@@ -921,17 +944,17 @@ def factored_classify_q8_batched(
 
 @lru_cache(maxsize=None)
 def _pair_selectors(num_tracklets: int) -> tuple:
-    """Constant one-hot (P_seg, N) subject/object selectors for the
-    canonical subject-major pair enumeration (enumerate_ordered_pairs)."""
+    """Constant one-hot (P_seg, N) subject/object selectors built from
+    the single canonical subject-major enumeration (_canonical_pairs),
+    so the selector path can never drift from the pair-order source of
+    truth."""
     n = num_tracklets
-    idx = np.arange(n)
-    sub = np.repeat(idx, n - 1)
-    obj = np.concatenate([np.delete(idx, i) for i in range(n)])
-    p = n * (n - 1)
+    pairs = _canonical_pairs(n)
+    p = pairs.shape[0]
     sel_s = np.zeros((p, n), np.float32)
     sel_o = np.zeros((p, n), np.float32)
-    sel_s[np.arange(p), sub] = 1.0
-    sel_o[np.arange(p), obj] = 1.0
+    sel_s[np.arange(p), pairs[:, 0]] = 1.0
+    sel_o[np.arange(p), pairs[:, 1]] = 1.0
     return sel_s, sel_o
 
 
@@ -1061,13 +1084,9 @@ def factored_classify_q8_fused(
     """
     bsz, n, td = trk_q.shape
     _, p, d = rel_q.shape
-    r = wq["qw_rel"].shape[1]
-    rp = _round_up(r, 128)
-
-    a = normalize_classify_q8s_pallas(
+    a, r, rp = _trk_pass(
         trk_q.reshape(bsz * n, td), trk_scales.reshape(bsz * n, -1),
-        wq["qw_trk_fused"], wq["sw_trk_fused"],
-        jnp.zeros((2 * rp,), jnp.float32), layout=tracklet_geom(layout),
+        wq, layout,
     )
 
     pp = _round_up(p, 32)

@@ -90,7 +90,22 @@ def _q8_classifier_weights(cfg, params):
         )
         b = np.asarray(cls["rel_predictor"]["bias"])
     qw, sw = quantize_weights_percol(w_dev)
-    return jnp.asarray(qw), jnp.asarray(sw), jnp.asarray(b), layout
+    # lane-pad ONCE at prep time: the in-step int8 relayout
+    # (zeros.at[:, :r].set) measured ~1.4 ms PER DISPATCH
+    # (tools/bench_rel_steps.py); padded output lanes carry zero
+    # weights/bias and the scorer slices them off after the kernel
+    r = qw.shape[1]
+    rp = -(-r // 128) * 128
+    qw_pad = np.zeros((qw.shape[0], rp), np.int8)
+    qw_pad[:, :r] = qw
+    sw_pad = np.zeros((rp,), np.float32)
+    sw_pad[:r] = sw
+    b_pad = np.zeros((rp,), np.float32)
+    b_pad[:r] = b
+    return (
+        jnp.asarray(qw_pad), jnp.asarray(sw_pad), jnp.asarray(b_pad),
+        layout, r,
+    )
 
 
 def _q8f_classifier_weights(cfg, params):
@@ -146,8 +161,11 @@ def _make_q8f_scorer(q8f_weights):
 def _make_q8_scorer(q8_weights):
     """(B, P, D) int8 + (B, P, 16) precomputed scales -> (B, P, R)
     logits through the scales-precomputed int8 x int8 kernel (Pallas on
-    TPU; exact XLA equivalent elsewhere)."""
-    qw, sw, b, layout = q8_weights
+    TPU; exact XLA equivalent elsewhere). Weights arrive lane-padded
+    from _q8_classifier_weights (padded lanes are exact zeros) so the
+    kernel's r==rp fast path skips the per-dispatch relayout; the real
+    R lanes are sliced back here."""
+    qw, sw, b, layout, r = q8_weights
 
     def score(feats, scales):
         from tspn_tpu.ops.pairwise import (
@@ -166,7 +184,7 @@ def _make_q8_scorer(q8_weights):
             # q8i8's XLA path recomputes the block L1 sums from the int8
             # rows — identical values to the precomputed ones
             out = normalize_classify_q8i8(flat, s[:, 0], qw, sw, b, layout=layout)
-        return out.reshape(*lead, -1)
+        return out[:, :r].reshape(*lead, r)
 
     return score
 

@@ -91,7 +91,11 @@ def _normalize(x, axis=-1):
 
 def _appearance_cost(st: TrackerState, det_features: jnp.ndarray) -> jnp.ndarray:
     """(K, D) min cosine distance of each detection to each track gallery."""
-    g = _normalize(st.gallery)  # (K, G, F)
+    # gallery vectors are L2-normalized ON INSERTION (the only writers
+    # call _normalize first), so only the detections need normalizing —
+    # re-normalizing the whole (K, G, F) gallery per frame was redundant
+    # VPU work in the scan body
+    g = st.gallery  # (K, G, F)
     f = _normalize(det_features)  # (D, F)
     sim = jnp.einsum("kgf,df->kgd", g, f)
     slot_valid = (
