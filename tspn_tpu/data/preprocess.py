@@ -174,7 +174,14 @@ def consolidate_split(
 
 
 def load_consolidated(path: str) -> dict:
+    """Whole-file view of one consolidated store. Always carries "mode"
+    ("f32" / "q8" / "q8f"); q8f stores additionally carry the
+    per-tracklet descriptor half (trk_feats/trk_scales/trk_offsets) —
+    without it the per-pair relative rows alone cannot reconstruct
+    features."""
     with h5py.File(path, "r") as f:
+        quantized = bool(f.attrs.get("quantized", False))
+        mode = str(f.attrs.get("mode", "q8" if quantized else "f32"))
         out = {
             "feats": np.asarray(f["feats"]),
             "pairs": np.asarray(f["pairs"]),
@@ -182,9 +189,14 @@ def load_consolidated(path: str) -> dict:
             "segment_id": np.asarray(f["segment_id"]),
             "segments": [s.decode() if isinstance(s, bytes) else s
                          for s in f["segments"]],
+            "mode": mode,
         }
-        if bool(f.attrs.get("quantized", False)):
+        if quantized:
             out["q8_scales"] = np.asarray(f["q8_scales"])
+        if mode == "q8f":
+            out["trk_feats"] = np.asarray(f["trk_feats"])
+            out["trk_scales"] = np.asarray(f["trk_scales"])
+            out["trk_offsets"] = np.asarray(f["trk_offsets"])
         return out
 
 
@@ -313,7 +325,7 @@ class ConsolidatedSegmentDataset:
 
     def feature_width(self) -> int:
         """Stored per-pair width (device_dim when quantized)."""
-        return int(self.store._f["feats"].shape[1])
+        return int(self.store._ds["feats"].shape[1])
 
     def load_segment(self, idx: int, with_labels: bool = True):
         from tspn_tpu.data.vrdataset import SegmentRecord

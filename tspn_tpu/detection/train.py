@@ -114,7 +114,14 @@ def load_record_image(record: dict) -> np.ndarray:
     """Record -> float32 HWC image in [0, 1]; accepts in-memory arrays
     (tests/synthetic) or file paths (ffmpeg frame dumps)."""
     if "image" in record:
-        img = np.asarray(record["image"], np.float32)
+        arr = np.asarray(record["image"])
+        img = arr.astype(np.float32)
+        # integer arrays are always 0..255 — a max()>1.5 heuristic
+        # misclassifies near-black uint8 frames as already normalized,
+        # scaling them 255x brighter than their neighbors; the heuristic
+        # remains only for float inputs of unknown provenance
+        if np.issubdtype(arr.dtype, np.integer):
+            return img / 255.0
         return img / 255.0 if img.max() > 1.5 else img
     from PIL import Image
 
@@ -283,6 +290,12 @@ def train_detector(
     opt_state = optimizer.init(params)
 
     mesh = make_mesh() if use_mesh else None
+    if mesh is not None:
+        assert train_cfg.ims_per_batch % mesh.size == 0, (
+            f"ims_per_batch {train_cfg.ims_per_batch} must divide evenly "
+            f"over the {mesh.size}-device mesh (each device takes "
+            f"ims_per_batch/n_devices images)"
+        )
     step_fn = make_detector_train_step(model, optimizer, mesh)
 
     groups = group_by_orientation(records, train_cfg)
@@ -292,19 +305,40 @@ def train_detector(
     do_eval = bool(eval_records) and train_cfg.eval_every > 0
     best_map, best_iter, best_params, eval_history = -1.0, 0, None, []
 
+    # host/device overlap: batch assembly (PIL decode + NumPy resize) on
+    # a producer thread so the device never waits on the host; loss
+    # readbacks deferred to log boundaries so up to log_every steps
+    # pipeline through JAX's async dispatch instead of one blocking
+    # float() per step
+    import queue as _queue
+    import threading as _threading
+
+    batch_q: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def _producer():
+        for _ in range(train_cfg.max_iter):
+            group = groups[rng.choice(len(groups), p=weights)]
+            idx = group[rng.choice(len(group), size=train_cfg.ims_per_batch,
+                                   replace=True)]
+            batch_q.put(make_batch([records[i] for i in idx], train_cfg))
+
+    _threading.Thread(target=_producer, daemon=True).start()
+
     meters = MetricLogger()
+    pending_losses: list = []
     end = time.time()
     for it in range(train_cfg.max_iter):
-        group = groups[rng.choice(len(groups), p=weights)]
-        idx = group[rng.choice(len(group), size=train_cfg.ims_per_batch,
-                               replace=True)]
-        batch = make_batch([records[i] for i in idx], train_cfg)
+        batch = batch_q.get()
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         params, opt_state, losses = step_fn(params, opt_state, batch)
-        meters.update(time=time.time() - end, **{k: float(v) for k, v in losses.items()})
+        pending_losses.append(losses)
+        meters.update(time=time.time() - end)
         end = time.time()
         if it % train_cfg.log_every == 0:
+            for entry in pending_losses:
+                meters.update(**{k: float(v) for k, v in entry.items()})
+            pending_losses.clear()
             logger.info(f"[{it + 1}/{train_cfg.max_iter}]  {meters}")
         if do_eval and (it + 1) % train_cfg.eval_every == 0:
             from tspn_tpu.detection.eval import run_detector_eval

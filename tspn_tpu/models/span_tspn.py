@@ -20,9 +20,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from tspn_tpu.models.dpn import DPN, dpn_loss, match_anchors
+from tspn_tpu.models.dpn import DPN, dpn_loss, match_anchors, propose_durations
 from tspn_tpu.models.tspn import RelationPredictor
-from tspn_tpu.ops.temporal import decode_spans, interval_iou, nms_1d
+from tspn_tpu.ops.temporal import interval_iou
 
 
 class SpanTSPN(nn.Module):
@@ -117,10 +117,9 @@ def span_tspn_loss(
         {"params": params}, batch["seq_feats"], batch["seq_mask"]
     )
 
-    def per_pair(relness_p, deltas_p, gt_spans_p, gt_mask_p):
-        return match_anchors(anchors, gt_spans_p, gt_mask_p)
-
-    targets = jax.vmap(per_pair)(relness, deltas, batch["gt_spans"], batch["gt_mask"])
+    targets = jax.vmap(
+        lambda spans_p, mask_p: match_anchors(anchors, spans_p, mask_p)
+    )(batch["gt_spans"], batch["gt_mask"])
     l_rel, l_span = jax.vmap(dpn_loss)(relness, deltas, targets)
     pair_mask = batch["pair_mask"]
     denom = jnp.clip(jnp.sum(pair_mask), 1.0)
@@ -191,17 +190,12 @@ def span_tspn_joint_loss(
     )
     s = batch["seq_feats"].shape[1]
     time_width = (s + 1) * model.frames_per_step
-    spans_all = jnp.clip(decode_spans(deltas, anchors[None]), 0.0, time_width)
-    scores_all = jax.nn.sigmoid(relness_logits)
-    valid = (spans_all[..., 1] - spans_all[..., 0]) > 0
-
-    def one_pair(spans_p, scores_p, valid_p):
-        idx, keep = nms_1d(
-            spans_p, scores_p, model.nms_threshold, top_k_spans, valid=valid_p
+    props = jax.vmap(
+        lambda rl, dl: propose_durations(
+            rl, dl, anchors, time_width, model.nms_threshold, top_k_spans
         )
-        return spans_p[idx], keep
-
-    spans, keep = jax.vmap(one_pair)(spans_all, scores_all, valid)  # (P, K, 2)
+    )(relness_logits, deltas)  # decode+clip+sigmoid+NMS, one source (dpn)
+    spans, keep = props.spans, props.mask  # (P, K, 2), (P, K)
     spans = jax.lax.stop_gradient(spans)  # proposal SELECTION is not a
     # gradient path; the regression term already trains the deltas
     logits_pred = model.apply(
@@ -247,18 +241,12 @@ def propose_and_classify(
     relness_logits, deltas, anchors = model.apply(
         {"params": params}, seq_feats, seq_mask
     )
-    spans_all = decode_spans(deltas, anchors[None])
-    spans_all = jnp.clip(spans_all, 0.0, time_width)
-    scores_all = jax.nn.sigmoid(relness_logits)
-    valid = (spans_all[..., 1] - spans_all[..., 0]) > 0
-
-    def one_pair(spans_p, scores_p, valid_p):
-        idx, keep = nms_1d(
-            spans_p, scores_p, model.nms_threshold, top_k_spans, valid=valid_p
+    props = jax.vmap(
+        lambda rl, dl: propose_durations(
+            rl, dl, anchors, time_width, model.nms_threshold, top_k_spans
         )
-        return spans_p[idx], scores_p[idx] * keep, keep
-
-    spans, relness, mask = jax.vmap(one_pair)(spans_all, scores_all, valid)
+    )(relness_logits, deltas)  # decode+clip+sigmoid+NMS, one source (dpn)
+    spans, relness, mask = props.spans, props.scores, props.mask
     logits = model.apply(
         {"params": params}, seq_feats, seq_mask, spans,
         method=SpanTSPN.classify_spans,

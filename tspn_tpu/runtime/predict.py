@@ -454,6 +454,12 @@ def predict(cfg, basedata, logger=None):
             "--preprocess with the same config first"
         )
         dataset = ConsolidatedSegmentDataset(cfg, path)
+        assert dataset.store.mode == mode, (
+            f"PREDICT.CONSOLIDATED={mode!r} but {path} was consolidated "
+            f"as {dataset.store.mode!r} — re-run --preprocess with the "
+            "same config (the store's mode is baked at consolidation "
+            "time)"
+        )
         logger.info(
             f"consolidated store: {path} "
             f"({'int8' if dataset.quantized else 'f32'} features)"
