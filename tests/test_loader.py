@@ -179,3 +179,18 @@ def test_interactive_viewer_autoplay_and_file_mode(tmp_path):
     )
     assert n == 3  # frame 1 shown, then autoplay through 2 and 3
     assert (tmp_path / "out" / "current.png").exists()
+
+
+def test_skip_batches_fast_forwards_stream(cfg, train_ds):
+    """Resume support: skip_batches=k reproduces positions k.. of the
+    same-seed stream (a resumed run must not re-train on 0..k-1)."""
+    full = [
+        idx for _, _, idx in _loader(cfg, train_ds, max_iter=8, seed=5)
+    ]
+    tail = [
+        idx for _, _, idx in _loader(
+            cfg, train_ds, max_iter=8, seed=5, skip_batches=3
+        )
+    ]
+    assert len(tail) == 5  # skipped positions count against max_iter
+    assert tail == full[3:]

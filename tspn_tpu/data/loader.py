@@ -52,6 +52,7 @@ class BucketedLoader:
         include_records: bool = False,
         feats_dtype=None,
         include_labels: bool = True,
+        skip_batches: int = 0,
     ):
         self.dataset = dataset
         self.buckets = sorted(buckets)
@@ -69,6 +70,13 @@ class BucketedLoader:
         # inference loaders skip label reading/matching/padding entirely
         # (no consumer; the label leaves were a measurable host cost)
         self.include_labels = include_labels
+        # resume support: fast-forward the deterministic batch stream by
+        # skip_batches positions (index groups are drawn but NOT
+        # assembled), so a resumed run continues at the exact stream
+        # position its checkpoint stopped at instead of re-training on
+        # positions 0..N. Counts against max_iter: the loader then
+        # yields max_iter - skip_batches batches.
+        self.skip_batches = int(skip_batches)
         import numpy as _np
 
         self.feats_dtype = feats_dtype or _np.float32
@@ -145,10 +153,16 @@ class BucketedLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         stop = threading.Event()
-        count = [0]
+        # skipped positions count against max_iter but are never
+        # assembled — the per-epoch shuffle is seed-deterministic, so
+        # draining the index stream reproduces a prior run's position
+        count = [self.skip_batches]
 
         def producer():
             try:
+                for _ in range(self.skip_batches):
+                    if next(stream, None) is None:
+                        break
                 for bucket, idxs in stream:
                     if stop.is_set() or (
                         self.max_iter is not None and count[0] >= self.max_iter

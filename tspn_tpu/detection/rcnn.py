@@ -171,8 +171,9 @@ class FasterRCNN(nn.Module):
             axis=1,
         )[:, 0]
         delta_targets = encode_boxes(gt_boxes[roi_gt], roi_boxes)
-        huber = optax.huber_loss(fg_deltas, delta_targets, delta=1.0).sum(-1)
-        loss_roi_box = jnp.sum(huber * roi_fg * roi_valid) / denom
+        # detectron2 C4 recipe uses SMOOTH_L1_BETA=0.0 == pure L1
+        l1 = jnp.abs(fg_deltas - delta_targets).sum(-1)
+        loss_roi_box = jnp.sum(l1 * roi_fg * roi_valid) / denom
 
         return {
             "loss_rpn_obj": loss_obj,

@@ -171,8 +171,9 @@ def rpn_loss(
 
     fg = (targets.labels == 1.0).astype(jnp.float32)
     delta_targets = encode_boxes(targets.matched_gt, anchors)
-    huber = optax.huber_loss(deltas, delta_targets, delta=1.0).sum(-1)
-    loss_box = jnp.sum(huber * fg * weights) / denom
+    # detectron2 C4 recipe uses SMOOTH_L1_BETA=0.0 == pure L1
+    l1 = jnp.abs(deltas - delta_targets).sum(-1)
+    loss_box = jnp.sum(l1 * fg * weights) / denom
     return loss_obj, loss_box
 
 

@@ -83,18 +83,3 @@ def viou(traj_1, duration_1, traj_2, duration_2) -> float:
     return inter / union
 
 
-def batched_viou_against_gt(
-    pred_trajs: list, pred_durations: list, gt_trajs: list, gt_durations: list
-) -> np.ndarray:
-    """Dense (num_pred, num_gt) vIoU matrix.
-
-    Host-side helper used by the relation evaluator so greedy matching
-    indexes a precomputed matrix instead of re-running viou per
-    (pred, gt) probe as the reference does inside its double loop
-    (/root/reference/lib/evaluation/visual_relation_detection.py:8-26).
-    """
-    out = np.zeros((len(pred_trajs), len(gt_trajs)), dtype=np.float64)
-    for i, (pt, pd) in enumerate(zip(pred_trajs, pred_durations)):
-        for j, (gt, gd) in enumerate(zip(gt_trajs, gt_durations)):
-            out[i, j] = viou(pt, pd, gt, gd)
-    return out

@@ -77,7 +77,12 @@ def evaluate(
         fp = np.zeros(len(entries))
         for d, idx in enumerate(order):
             vid, _, trajectory = entries[idx]
-            record = per_video_gt[vid]
+            # predictions for a video with no GT entry (e.g. evaluating
+            # against a GT subset) are false positives, not a KeyError
+            record = per_video_gt.get(vid)
+            if record is None:
+                fp[d] = 1.0
+                continue
             overlap, gt_idx = trajectory_overlap(record["trajectories"], trajectory)
             if overlap >= thresh_t and not record["det"][gt_idx]:
                 tp[d] = 1.0

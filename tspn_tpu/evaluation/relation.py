@@ -3,9 +3,10 @@
 Metric-parity rebuild of
 /root/reference/lib/evaluation/visual_relation_detection.py:8-121:
 relation detection mAP, Recall@{50,100,1000}, tagging Precision@{1,5,10}.
-The greedy GT matching is restructured around per-triplet GT grouping and
-a memoized vIoU table so the inner loop only touches same-triplet ground
-truth, but scores, ordering, and tie behavior are identical.
+The greedy GT matching is restructured around per-triplet GT grouping so
+the inner loop only touches same-triplet ground truth (vIoU runs per
+(pred, gt) probe through the native kernel), but scores, ordering, and
+tie behavior are identical.
 """
 
 from __future__ import annotations

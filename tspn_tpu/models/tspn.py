@@ -16,7 +16,6 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tspn_tpu.models.dpn import DPN
 from tspn_tpu.models.ppn import PPNHead
 
 
@@ -113,15 +112,16 @@ class TSPNModel(nn.Module):
     num_predicates: int = 132
     num_objects: int = 35
     use_ppn: bool = True
+    # use_dpn is the RelPN gating flag (RELPN.USE_DPN): the DPN itself
+    # runs at VIDEO level through SpanTSPN (models/span_tspn.py), never
+    # inside the segment model — a segment is one anchor stride wide, so
+    # there is no span to propose. The flag routes the span phase in
+    # runtime/span_train.py / predict.
     use_dpn: bool = True
     fused_classifier: bool = False
     inference: bool = False
     ppn_hidden: int = 64
     ppn_out: int = 35
-    dpn_anchor_sizes: tuple = (15, 30, 45, 60)
-    dpn_anchor_stride: float = 15.0
-    dpn_num_proposals: int = 64
-    dpn_frames_per_step: float = 15.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -138,25 +138,12 @@ class TSPNModel(nn.Module):
                 out_channels=self.ppn_out,
                 dtype=self.dtype,
             )
-        if self.use_dpn:
-            self.dpn = DPN(
-                anchor_sizes=self.dpn_anchor_sizes,
-                anchor_stride=self.dpn_anchor_stride,
-                num_duration_proposals=self.dpn_num_proposals,
-                frames_per_step=self.dpn_frames_per_step,
-                dtype=self.dtype,
-            )
 
     def __call__(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
         out = {"rel_logits": self.classifier(batch["feats"])}
         if self.use_ppn:
             out["pair_logits"] = self.ppn_head(batch["cls_logits"])
         return out
-
-    def duration_forward(self, pair_seq_feats: jnp.ndarray):
-        """Video-level DPN pass: (B_pairs, T, C) -> relness/deltas/anchors."""
-        assert self.use_dpn, "duration_forward requires use_dpn=True"
-        return self.dpn(pair_seq_feats)
 
 
 def build_model(cfg, inference: bool = False) -> TSPNModel:
@@ -174,8 +161,5 @@ def build_model(cfg, inference: bool = False) -> TSPNModel:
         fused_classifier=bool(cfg.MODEL.get("FUSED_CLASSIFIER", False)),
         ppn_hidden=cfg.RELPN.PPN.HIDDEN_CHANNELS,
         ppn_out=cfg.RELPN.PPN.OUT_CHANNELS,
-        dpn_anchor_sizes=tuple(cfg.RELPN.DPN.ANCHOR_SIZES),
-        dpn_anchor_stride=float(cfg.RELPN.DPN.ANCHOR_STRIDE),
-        dpn_num_proposals=cfg.RELPN.DPN.NUM_DURATION_PROPOSALS,
         dtype=dtype,
     )

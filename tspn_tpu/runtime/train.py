@@ -83,25 +83,10 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
     if dataset is None:
         dataset = SegmentDataset(cfg, basedata, phase="train")
     assert len(dataset) > 0, "no train segments with cached features found"
-    loader = BucketedLoader(
-        dataset,
-        buckets=cfg.BUCKETS.NUM_TRACKLETS,
-        batch_size=batch_size,
-        feature_dim=effective_feature_dim(cfg),
-        feats_dtype=effective_feats_dtype(cfg),
-        num_predicates=cfg.PREDICT.PREDICATE_NUM,
-        num_objects=cfg.PREDICT.OBJECT_NUM,
-        max_iter=cfg.SOLVER.MAX_ITER,
-        shuffle=True,
-        seed=cfg.ETC.RANDOM_SEED,
-        rank=rank,
-        world_size=jax.process_count(),
-    )
 
     model = build_model(cfg)
     rng = jax.random.PRNGKey(cfg.ETC.RANDOM_SEED)
     init_bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
-    step_fns = {}
 
     meters = MetricLogger()
     model_name = cfg.MODEL.NAME
@@ -132,35 +117,67 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
         state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
     )
 
+    # the loader is built AFTER resume so the deterministic batch stream
+    # fast-forwards to the checkpoint's position (a resumed run continues
+    # on stream positions [start_iter, MAX_ITER), not 0..remaining)
+    loader = BucketedLoader(
+        dataset,
+        buckets=cfg.BUCKETS.NUM_TRACKLETS,
+        batch_size=batch_size,
+        feature_dim=effective_feature_dim(cfg),
+        feats_dtype=effective_feats_dtype(cfg),
+        num_predicates=cfg.PREDICT.PREDICATE_NUM,
+        num_objects=cfg.PREDICT.OBJECT_NUM,
+        max_iter=max_iter,
+        shuffle=True,
+        seed=cfg.ETC.RANDOM_SEED,
+        rank=rank,
+        world_size=jax.process_count(),
+        skip_batches=int(start_iter),
+    )
+    # one step program — jit retraces per batch shape (bucket) on its own
+    step_fn = make_train_step(
+        model, optimizer, mesh=mesh, data_axis=cfg.MESH.DATA_AXIS
+    )
+
     end = time.time()
     global_iter = start_iter
+    pending = []  # (global_iter, device metric dicts) awaiting readback
     for iteration, (bucket, batch, _indices) in enumerate(loader):
         global_iter = start_iter + iteration
         if global_iter >= max_iter:
             break  # resumed runs finish at MAX_ITER total, not +MAX_ITER
         data_time = time.time() - end
-        if bucket not in step_fns:
-            step_fns[bucket] = make_train_step(
-                model, optimizer, mesh=mesh, data_axis=cfg.MESH.DATA_AXIS
-            )
 
         batch = shard_batch(batch, mesh, cfg.MESH.DATA_AXIS)
-        state, metrics = step_fns[bucket](state, batch)
-        metrics = {k: float(v) for k, v in metrics.items()}
+        state, metrics = step_fn(state, batch)
+        # defer the float() readbacks to display/save boundaries so up
+        # to display_freq steps pipeline through JAX's async dispatch
+        # (a per-step float(v) blocked on every tunnel round trip)
+        pending.append(metrics)
 
         batch_time = time.time() - end
         end = time.time()
-        meters.update(time=batch_time, data=data_time, **metrics)
+        meters.update(time=batch_time, data=data_time)
 
-        if iteration % display_freq == 0 and rank == 0:
+        at_display = iteration % display_freq == 0
+        at_save = (global_iter + 1) % save_freq == 0
+        if (at_display or at_save) and rank == 0:
+            for entry in pending:
+                meters.update(**{k: float(v) for k, v in entry.items()})
+            pending.clear()
+        if at_display and rank == 0:
             logger.info(
                 f"[{global_iter + 1}/{max_iter}]  {meters}  "
                 f"eta: {eta_string(meters.time.global_avg, global_iter, max_iter)}"
             )
-        if (global_iter + 1) % save_freq == 0 and rank == 0:
+        if at_save and rank == 0:
             _save(cfg, state, meters, model_name, global_iter + 1, logger)
 
     if rank == 0 and state is not None:
+        for entry in pending:
+            meters.update(**{k: float(v) for k, v in entry.items()})
+        pending.clear()
         _save(cfg, state, meters, model_name, max_iter, logger)
         os.makedirs("configs", exist_ok=True)
         cfg.dump_to_file(os.path.join("configs", f"{model_name}_config.yaml"))
