@@ -291,7 +291,7 @@ def bench_e2e():
         }
         params0 = model.init(jax.random.PRNGKey(0), example)["params"]
 
-        def run_leg(make_dataset, cfg_leg, repeats=3):
+        def run_leg(make_dataset, cfg_leg, repeats=3, pipeline_depth=2):
             """Scored portion: one traced program per leg (trace/compile
             = startup, excluded per the e2e metric definition); each
             repeat's dispatches carry unique content via a cls_logits
@@ -306,7 +306,8 @@ def bench_e2e():
                 return b
 
             predict_segments(  # warm pass: traces + compiles + warms IO
-                cfg_leg, model, params0, ds0, infer=infer, batch_hook=hook
+                cfg_leg, model, params0, ds0, infer=infer, batch_hook=hook,
+                pipeline_depth=pipeline_depth,
             )
             times, n_segs = [], 0
             for i in range(repeats):
@@ -314,7 +315,8 @@ def bench_e2e():
                 ds = make_dataset()
                 t0 = time.perf_counter()
                 out = predict_segments(
-                    cfg_leg, model, params0, ds, infer=infer, batch_hook=hook
+                    cfg_leg, model, params0, ds, infer=infer, batch_hook=hook,
+                    pipeline_depth=pipeline_depth,
                 )
                 times.append(time.perf_counter() - t0)
                 n_segs = len(out)
@@ -328,8 +330,12 @@ def bench_e2e():
 
         cfg_f32 = cfg.clone()
         cfg_f32.DATASET.TEST_BATCH_SIZE = 1  # reference's TEST_BATCH_SIZE
+        # pipeline_depth=0: the reference's loop syncs per segment
+        # (predict.py:66-117 converts to CPU inside the batch loop), so
+        # the baseline leg keeps that structure
         f32_rate, _ = run_leg(
-            lambda: SegmentDataset(cfg_f32, dataset, phase="test"), cfg_f32
+            lambda: SegmentDataset(cfg_f32, dataset, phase="test"), cfg_f32,
+            pipeline_depth=0,
         )
         return {
             "e2e_segments_per_sec": round(q8f_rate, 2),

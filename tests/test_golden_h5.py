@@ -95,6 +95,45 @@ def test_detect_path_consumes_frozen_artifacts(golden_dataset):
             assert pair_g == pair_n, key
 
 
+def test_predict_pipeline_depth_parity(golden_dataset):
+    """The deferred-readback software pipeline in predict_segments
+    (pipeline_depth=2, the default) must produce bit-identical results to
+    the fully synchronous loop (depth 0, the reference's structure)."""
+    from tspn_tpu.config import get_default_config
+    from tspn_tpu.data.segments import set_output_dir
+    from tspn_tpu.data.vrdataset import SegmentDataset
+    from tspn_tpu.models.tspn import build_model
+    from tspn_tpu.runtime.predict import predict_segments
+    from tools.make_golden_fixture import _seeded_params
+
+    set_output_dir(os.path.join(FIXTURE, "output"))
+    cfg = get_default_config()
+    cfg.PREDICT.PREDICATE_NUM = golden_dataset.get_predicate_num()
+    cfg.RELPN.USE_PPN = False
+    cfg.RELPN.USE_DPN = False
+    cfg.DATASET.TEST_BATCH_SIZE = 1
+
+    sds = SegmentDataset(cfg, golden_dataset, phase="test")
+    model = build_model(cfg)
+    params = _seeded_params(model, cfg, sds)
+    out_sync = predict_segments(cfg, model, params, sds, pipeline_depth=0)
+    out_pipe = predict_segments(cfg, model, params, sds, pipeline_depth=2)
+
+    assert set(out_sync) == set(out_pipe)
+    for key in out_sync:
+        preds_s, iou_s, tid_s = out_sync[key]
+        preds_p, iou_p, tid_p = out_pipe[key]
+        np.testing.assert_array_equal(iou_s, iou_p)
+        np.testing.assert_array_equal(tid_s, tid_p)
+        assert len(preds_s) == len(preds_p)
+        for (s_a, trip_a, pair_a), (s_b, trip_b, pair_b) in zip(
+            preds_s, preds_p
+        ):
+            assert s_a == s_b
+            np.testing.assert_array_equal(trip_a, trip_b)
+            np.testing.assert_array_equal(pair_a, pair_b)
+
+
 def test_train_labels_from_frozen_artifacts(golden_dataset):
     """Label matching over the frozen train segment: multi-hot rows keyed
     by pair row (the documented fix of the reference's scrambled label

@@ -343,7 +343,7 @@ def build_infer(cfg, model, params, dataset):
 
 def predict_segments(
     cfg, model, params, dataset: SegmentDataset, logger=None, infer=None,
-    batch_hook=None,
+    batch_hook=None, pipeline_depth: int = 2,
 ):
     """Run relation prediction over every test segment.
 
@@ -353,7 +353,9 @@ def predict_segments(
     previously traced program. `batch_hook(batch) -> batch` is applied
     before each device dispatch (bench/testing hook — e.g. injecting
     per-repeat content uniqueness against the dev tunnel's dispatch
-    memoization).
+    memoization). `pipeline_depth` bounds how many batches may be in
+    flight before a blocking readback (0 = fully synchronous, the
+    reference's loop structure — predict.py:41-120 syncs per segment).
 
     Returns {(vid, fstart, fend): (predictions, iou, trackid)}.
     """
@@ -381,12 +383,19 @@ def predict_segments(
 
     short_term_relations: Dict[Tuple[str, int, int], tuple] = {}
     seen = set()
-    for bucket, batch, indices, records in loader:
-        if batch_hook is not None:
-            batch = batch_hook(batch)
-        # one dispatch + one readback for the whole segment batch
+
+    # Software pipeline (depth 2): `infer` dispatches asynchronously, so
+    # deferring the blocking np.asarray readback by two batches overlaps
+    # each batch's device time + tunnel round trip with the PREVIOUS
+    # batch's host-side assembly and the NEXT batch's loader IO (the
+    # loader already prefetches on a thread). Outputs are tiny
+    # (top-K per segment); at most two batches of inputs stay in flight.
+    pending: list = []
+
+    def _drain(entry):
+        out, indices, records, pairs_b = entry
         scores_b, pair_idx_b, pred_idx_b, valid_b = jax.tree_util.tree_map(
-            np.asarray, infer(params, batch)
+            np.asarray, out
         )
         for b, index in enumerate(indices):
             if index in seen:  # epoch-end padding repeats segments
@@ -402,7 +411,7 @@ def predict_segments(
             pred_idx = pred_idx_b[b]
             valid = valid_b[b]
 
-            pairs = batch["pairs"][b]            # (P, 2) tracklet ids
+            pairs = pairs_b[b]                   # (P, 2) tracklet ids
             cls_logits = record.cls_logits       # (N, C)
             obj_labels = (
                 np.argmax(cls_logits, axis=1)
@@ -432,6 +441,17 @@ def predict_segments(
                 np.asarray(record.iou),
                 np.asarray(record.trackid),
             )
+
+    for bucket, batch, indices, records in loader:
+        if batch_hook is not None:
+            batch = batch_hook(batch)
+        # async dispatch for the whole segment batch; readback deferred
+        pending.append((infer(params, batch), indices, records,
+                        np.asarray(batch["pairs"])))
+        if len(pending) > pipeline_depth:
+            _drain(pending.pop(0))
+    for entry in pending:
+        _drain(entry)
     return short_term_relations
 
 
