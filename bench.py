@@ -323,7 +323,10 @@ def bench_e2e():
             return n_segs / float(np.median(times)), n_segs
 
         cfg_q8f = cfg.clone()
-        cfg_q8f.DATASET.TEST_BATCH_SIZE = 8
+        # batch 16 = configs/tspn.yaml's recommended inference batch; the
+        # round-3e sweep (bs 4/8/16/32 x depth 2/3 on this fixture) put
+        # bs=16 ~1.8x over bs=8 with diminishing returns past it
+        cfg_q8f.DATASET.TEST_BATCH_SIZE = 16
         q8f_rate, n_segs = run_leg(
             lambda: ConsolidatedSegmentDataset(cfg_q8f, q8f_path), cfg_q8f
         )

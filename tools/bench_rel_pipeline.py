@@ -18,7 +18,15 @@ no kernel rewrite, plus a manual emit_pipeline rewrite:
             pipeline is the thing the custom kernel must beat
   p5_emit   manual pltpu.emit_pipeline over row tiles inside one
             kernel invocation (grid=(1,)): explicit inner pipeline
-            with multiple buffering
+
+MEASURED (round 3e, DESIGN.md §7): p1 no gain; p2/p3 unsupported by
+this toolchain (only single/double buffering); p5 needs the scale
+sidecar block padded to 128 lanes (narrow blocks crash the Mosaic
+remote compiler inside emit_pipeline) and cannot run under CPU
+interpret. Decisive 11-round interleaved run: p0 40.2 / p4 39.9 /
+p5 37.9 Mpairs/s, IQRs overlapping — three independent schedules
+converge at the same rate, so the schedule-level levers are
+exhausted for this shape.
 
 All legs compute the SAME math (parity-checked at startup against the
 XLA oracle) under the chained-unique protocol (memory:
@@ -110,13 +118,16 @@ def xla_rel(x, s, w, sw, b):
     return acc.astype(jnp.float32) * s[:, 0:1] * sw[None, :] + b[None, :]
 
 
-def make_emit_call(row_tile, buffers=3):
+def make_emit_call(row_tile, buffers=2):
     """grid=(1,) pallas_call whose body runs pltpu.emit_pipeline over
-    row tiles with explicit multiple buffering; x/s/out stay in HBM
-    (pltpu.ANY) and the inner pipeline DMAs tiles itself."""
+    row tiles; x/s/out stay in HBM (pl.ANY) and the inner pipeline DMAs
+    tiles itself. The scale sidecar is padded to a 128-lane block:
+    narrow (rows, 16) blocks crash the Mosaic remote compiler inside
+    emit_pipeline on this toolchain (round 3e). buffers>2 is likewise
+    unsupported ("Only single (1) and double (2) buffering")."""
 
     def body(x_hbm, s_hbm, w_ref, sw_ref, b_ref, o_hbm):
-        def step(_, x_ref, s_ref, o_ref):
+        def step(x_ref, s_ref, o_ref):
             _kernel(x_ref, s_ref, w_ref, sw_ref, b_ref, o_ref)
 
         p = x_hbm.shape[0]
@@ -127,7 +138,7 @@ def make_emit_call(row_tile, buffers=3):
             in_specs=[
                 pl.BlockSpec((row_tile, D), lambda i: (i, 0),
                              pipeline_mode=pl.Buffered(buffer_count=buffers)),
-                pl.BlockSpec((row_tile, 16), lambda i: (i, 0)),
+                pl.BlockSpec((row_tile, 128), lambda i: (i, 0)),
             ],
             out_specs=[pl.BlockSpec((row_tile, RP), lambda i: (i, 0))],
         )
@@ -136,6 +147,7 @@ def make_emit_call(row_tile, buffers=3):
     def call(x, s, w, sw, b):
         p = x.shape[0]
         assert p % row_tile == 0
+        s128 = jnp.pad(s, ((0, 0), (0, 128 - s.shape[1])))
         return pl.pallas_call(
             body,
             out_shape=jax.ShapeDtypeStruct((p, RP), jnp.float32),
@@ -148,7 +160,7 @@ def make_emit_call(row_tile, buffers=3):
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             interpret=_interp(),
-        )(x, s, w, sw.reshape(1, RP), b.reshape(1, RP))
+        )(x, s128, w, sw.reshape(1, RP), b.reshape(1, RP))
 
     return call
 
