@@ -103,7 +103,7 @@ def test_predict_pipeline_depth_parity(golden_dataset):
     from tspn_tpu.data.segments import set_output_dir
     from tspn_tpu.data.vrdataset import SegmentDataset
     from tspn_tpu.models.tspn import build_model
-    from tspn_tpu.runtime.predict import predict_segments
+    from tspn_tpu.runtime.predict import build_infer, predict_segments
     from tools.make_golden_fixture import _seeded_params
 
     set_output_dir(os.path.join(FIXTURE, "output"))
@@ -116,8 +116,15 @@ def test_predict_pipeline_depth_parity(golden_dataset):
     sds = SegmentDataset(cfg, golden_dataset, phase="test")
     model = build_model(cfg)
     params = _seeded_params(model, cfg, sds)
-    out_sync = predict_segments(cfg, model, params, sds, pipeline_depth=0)
-    out_pipe = predict_segments(cfg, model, params, sds, pipeline_depth=2)
+    # one shared traced program: isolates the variable under test (the
+    # readback scheduling) and avoids double trace/compile cost
+    infer = build_infer(cfg, model, params, sds)
+    out_sync = predict_segments(
+        cfg, model, params, sds, infer=infer, pipeline_depth=0
+    )
+    out_pipe = predict_segments(
+        cfg, model, params, sds, infer=infer, pipeline_depth=2
+    )
 
     assert set(out_sync) == set(out_pipe)
     for key in out_sync:

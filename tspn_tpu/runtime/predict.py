@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -341,6 +341,17 @@ def build_infer(cfg, model, params, dataset):
     )
 
 
+class _PendingSeg(NamedTuple):
+    """The per-segment fields the deferred readback path needs — holding
+    these (rather than whole SegmentRecords) keeps the pipelined
+    in-flight entries from retaining feature arrays."""
+
+    num_proposals: int
+    cls_logits: np.ndarray
+    iou: np.ndarray
+    trackid: np.ndarray
+
+
 def predict_segments(
     cfg, model, params, dataset: SegmentDataset, logger=None, infer=None,
     batch_hook=None, pipeline_depth: int = 2,
@@ -389,7 +400,10 @@ def predict_segments(
     # each batch's device time + tunnel round trip with the PREVIOUS
     # batch's host-side assembly and the NEXT batch's loader IO (the
     # loader already prefetches on a thread). Outputs are tiny
-    # (top-K per segment); at most two batches of inputs stay in flight.
+    # (top-K per segment), and each pending entry keeps only the slim
+    # per-segment fields _drain reads (never the feature arrays), so up
+    # to depth+1 entries in flight cost ~KBs of host memory, not
+    # batches of features.
     pending: list = []
 
     def _drain(entry):
@@ -445,9 +459,17 @@ def predict_segments(
     for bucket, batch, indices, records in loader:
         if batch_hook is not None:
             batch = batch_hook(batch)
-        # async dispatch for the whole segment batch; readback deferred
-        pending.append((infer(params, batch), indices, records,
-                        np.asarray(batch["pairs"])))
+        # async dispatch for the whole segment batch; readback deferred.
+        # Retain only what _drain reads: slim per-record fields (the
+        # feature arrays would otherwise stay alive for depth+1 batches)
+        # and an explicit SNAPSHOT of the pair ids (batch leaves must
+        # not be assumed stable once the loader moves on).
+        slim = [
+            _PendingSeg(r.num_proposals, r.cls_logits, r.iou, r.trackid)
+            for r in records
+        ]
+        pending.append((infer(params, batch), indices, slim,
+                        np.array(batch["pairs"], copy=True)))
         if len(pending) > pipeline_depth:
             _drain(pending.pop(0))
     for entry in pending:
