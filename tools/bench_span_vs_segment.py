@@ -1,0 +1,164 @@
+"""Measure the paper's headline efficiency claim in-framework:
+span-mode inference ("what and when to look", one span model pass per
+video) vs segment-mode inference (score EVERY 30/15-overlapped segment,
+then greedy association) on the same fixture and the same chip.
+
+The TSPN paper (arXiv:2107.07154; /root/reference/README.md:17) claims
+the span formulation is "twice as efficient as a popular segment-based
+approach" because stride-15 segment tiling re-scores every frame's
+pairs twice and re-associates them on the host, while span proposals
+classify each candidate pair ONCE over its proposed duration. The
+reference never ships runnable DPN/span inference, so the claim is not
+measurable there; here both modes are complete, so this probe puts a
+number on it.
+
+Protocol: synthetic fixture (same generator as bench.py's e2e leg),
+both modes warmed (trace/compile excluded), wall-clock of the
+scored+assembled portion per mode, medians over repeats. Modes share
+the same per-segment h5 artifacts and the same trained parameters where
+applicable; timing is what differs (segment mode pays per-segment
+scoring + host association, span mode pays per-video chain building +
+span scoring).
+
+Usage: python tools/bench_span_vs_segment.py [--repeats 3] [--cpu]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--span_iters", type=int, default=60)
+    parser.add_argument(
+        "--cpu", action="store_true", help="force the CPU backend"
+    )
+    args = parser.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from tspn_tpu import association
+    from tspn_tpu.config import get_default_config
+    from tspn_tpu.data.annotations import VidVRD
+    from tspn_tpu.data.segments import set_output_dir
+    from tspn_tpu.data.synthetic import (
+        generate_annotations,
+        generate_segment_artifacts,
+    )
+    from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+    from tspn_tpu.models.tspn import build_model
+    from tspn_tpu.runtime.predict import build_infer, predict_segments
+    from tspn_tpu.runtime.span_predict import detect_spans
+    from tspn_tpu.runtime.span_train import train_span_model
+
+    work = tempfile.mkdtemp(prefix="tspn_span_vs_seg_")
+    try:
+        data_dir = os.path.join(work, "vidvrd")
+        out_dir = os.path.join(work, "out")
+        generate_annotations(
+            data_dir, num_train=2, num_test=6, frame_count=120,
+            objects_per_video=4, relations_per_video=5, seed=5,
+            num_categories=8, num_predicate_types=16,
+        )
+        dataset = VidVRD(
+            data_dir, os.path.join(data_dir, "videos"), ["train", "test"]
+        )
+        set_output_dir(out_dir)
+        generate_segment_artifacts(dataset, out_dir, seed=5)
+
+        cfg = get_default_config()
+        cfg.PREDICT.PREDICATE_NUM = dataset.get_predicate_num()
+        cfg.RELPN.USE_PPN = False
+        cfg.RELPN.USE_DPN = True
+        cfg.RELPN.DPN.JOINT_OBJECTIVE = True
+        cfg.DATASET.TEST_BATCH_SIZE = 16
+
+        # ---- shared model state -------------------------------------
+        seg_model = build_model(cfg)
+        bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
+        p = bucket * (bucket - 1)
+        example = {
+            "feats": np.zeros((1, p, effective_feature_dim(cfg)), np.float32),
+            "pairs": np.zeros((1, p, 2), np.int32),
+            "labels": np.zeros((1, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
+            "pair_mask": np.zeros((1, p), np.float32),
+            "cls_logits": np.zeros((1, bucket, cfg.PREDICT.OBJECT_NUM), np.float32),
+            "track_mask": np.zeros((1, bucket), np.float32),
+        }
+        seg_params = seg_model.init(jax.random.PRNGKey(0), example)["params"]
+        span_model, span_params = train_span_model(
+            cfg, dataset, max_iter=args.span_iters, lr=1e-3
+        )
+
+        # ---- segment mode: per-segment scoring + greedy association --
+        test_ds = SegmentDataset(cfg, dataset, phase="test")
+        infer = build_infer(cfg, seg_model, seg_params, test_ds)
+
+        def run_segment_mode():
+            rels = predict_segments(cfg, seg_model, seg_params, test_ds,
+                                    infer=infer)
+            by_vid = {}
+            for index, payload in rels.items():
+                by_vid.setdefault(index[0], []).append((index, payload))
+            return {
+                vid: association.greedy_relational_association(
+                    dataset, v, max_traj_num_in_clip=100
+                )
+                for vid, v in by_vid.items()
+            }
+
+        # ---- span mode: one span pass per video ----------------------
+        def run_span_mode():
+            return detect_spans(cfg, dataset, span_model, span_params)
+
+        n_segments = len(test_ds)
+        n_videos = len(dataset.get_index("test"))
+
+        for fn in (run_segment_mode, run_span_mode):  # warm both
+            fn()
+        seg_times, span_times = [], []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            seg_out = run_segment_mode()
+            seg_times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            span_out = run_span_mode()
+            span_times.append(time.perf_counter() - t0)
+
+        seg_t = float(np.median(seg_times))
+        span_t = float(np.median(span_times))
+        print(json.dumps({
+            "metric": "span_vs_segment_inference_speedup",
+            "value": round(seg_t / span_t, 2),
+            "unit": "x (segment-mode time / span-mode time)",
+            "segment_mode_s": round(seg_t, 3),
+            "span_mode_s": round(span_t, 3),
+            "num_videos": n_videos,
+            "num_segments": n_segments,
+            "segment_mode_relations": sum(len(v) for v in seg_out.values()),
+            "span_mode_relations": sum(len(v) for v in span_out.values()),
+            "backend": jax.default_backend(),
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
