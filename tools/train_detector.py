@@ -58,6 +58,8 @@ def main():
     parser.add_argument("--num_machines", type=int, default=1)
     parser.add_argument("--machine_rank", type=int, default=0)
     parser.add_argument("--dist_url", default=None)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 activations, f32 params/grads")
     args = parser.parse_args()
 
     records = _load_records(args, args.split)
@@ -78,6 +80,7 @@ def main():
         min_size=args.min_size,
         max_size=args.max_size,
         eval_every=args.eval_every if eval_records else 0,
+        mixed_precision=args.bf16,
     )
 
     def run():

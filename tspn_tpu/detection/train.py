@@ -56,6 +56,10 @@ class DetectorTrainConfig(NamedTuple):
     # DefaultTrainer evaluator hooks, detectron/train.py:44-128)
     eval_every: int = 0           # 0 disables the hook
     keep_best: bool = True        # track/save best-mAP params
+    # bf16 activations with f32 parameters/gradients (flax dtype casts
+    # compute only; grads come back in the param dtype). The reference's
+    # detectron2 recipe is f32 throughout, so this defaults off.
+    mixed_precision: bool = False
 
 
 def shortest_edge_scale(h: int, w: int, min_size: int, max_size: int) -> float:
@@ -277,7 +281,10 @@ def train_detector(
     """
     if logger is None:
         logger = setup_logger("detector_train", save_dir="logs")
-    model = FasterRCNN(cfg=det_cfg)
+    model = FasterRCNN(
+        cfg=det_cfg,
+        dtype=jnp.bfloat16 if train_cfg.mixed_precision else jnp.float32,
+    )
     rng = np.random.RandomState(seed)
 
     example = make_batch(records[:1], train_cfg)
