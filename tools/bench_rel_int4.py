@@ -54,8 +54,25 @@ def main():
         )
 
     def make_call(xdtype, wdtype):
+        # tag/carry ride INSIDE the jit (unique content + dependency
+        # chain per iteration — tunnel memoization, memory:
+        # axon-tpu-quirks) so each iteration is ONE dispatch
         @jax.jit
-        def call(x, w):
+        def call(x, w, tag, carry):
+            w = w.at[0, 0].set(((tag + carry) % 127).astype(jnp.int8))
+            out = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((p, RP), jnp.int32),
+                grid=(p // tile,),
+                in_specs=[
+                    pl.BlockSpec((tile, D), lambda i: (i, 0)),
+                    pl.BlockSpec((D, RP), lambda i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec((tile, RP), lambda i: (i, 0)),
+            )(x.astype(xdtype), w.astype(wdtype))
+            return jnp.max(out)
+
+        def full(x, w):  # correctness entry: full int32 output
             return pl.pallas_call(
                 kernel,
                 out_shape=jax.ShapeDtypeStruct((p, RP), jnp.int32),
@@ -67,54 +84,61 @@ def main():
                 out_specs=pl.BlockSpec((tile, RP), lambda i: (i, 0)),
             )(x.astype(xdtype), w.astype(wdtype))
 
-        return call
+        return call, jax.jit(full)
 
     rng = np.random.RandomState(0)
     x8 = rng.randint(-7, 8, (p, D)).astype(np.int8)
     w8 = rng.randint(-127, 128, (D, RP)).astype(np.int8)
 
     out = {"metric": "rel_pass_int4_probe", "rows": p, "row_tile": tile}
-    # correctness oracle (int32 exact)
-    ref = x8.astype(np.int64) @ w8.astype(np.int64)
+    # correctness oracle: f64 BLAS matmul is EXACT here (|x|<=7, |w|<=127,
+    # D=3072 -> |sum| < 2^23 << 2^53) and ~100x faster than numpy's
+    # non-BLAS integer matmul on the 1-core host
+    ref = (x8.astype(np.float64) @ w8.astype(np.float64)).astype(np.int64)
+    # astype(int4) WRAPS (two's-complement truncation), not clamps
+    w4 = ((w8.astype(np.int64) + 8) % 16) - 8
+    ref4 = (x8.astype(np.float64) @ w4.astype(np.float64)).astype(np.int64)
 
     legs = {}
+    x_dev, w_dev = jnp.asarray(x8), jnp.asarray(w8)
     for name, (xd, wd) in {
         "i8xi8": (jnp.int8, jnp.int8),
         "i4xi8": (jnp.int4, jnp.int8),
         "i4xi4": (jnp.int4, jnp.int4),
     }.items():
+        t0 = time.perf_counter()
         try:
-            call = make_call(xd, wd)
-            got = np.asarray(call(jnp.asarray(x8), jnp.asarray(w8)),
-                             np.int64)
-            exact = bool((got == ref).all()) if name != "i4xi4" else bool(
-                (got == (x8.astype(np.int64)
-                         @ np.clip(w8, -8, 7).astype(np.int64))).all()
-            )
+            call, full = make_call(xd, wd)
+            got = np.asarray(full(x_dev, w_dev), np.int64)
+            exact = bool((got == (ref4 if name == "i4xi4" else ref)).all())
             out[f"{name}_compiles"] = True
             out[f"{name}_exact"] = exact
             legs[name] = call
         except Exception as exc:  # noqa: BLE001
             out[f"{name}_compiles"] = False
             out[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:160]
+        print(
+            f"# {name}: compile+check {time.perf_counter() - t0:.1f}s "
+            f"-> {out.get(f'{name}_compiles')}",
+            file=sys.stderr, flush=True,
+        )
 
-    # interleaved timing with chained-unique content (perturb the small
-    # weight, chain through a scalar)
-    xs = {name: jnp.asarray(x8) for name in legs}
+    # interleaved timing with chained-unique content
     times = {name: [] for name in legs}
-    for name, call in legs.items():  # warm
-        _ = np.asarray(call(xs[name], jnp.asarray(w8)))
+    for name, call in legs.items():  # warm the timing program
+        _ = float(np.asarray(call(x_dev, w_dev, jnp.int32(0), jnp.int32(0))))
     tag = 1
-    for _r in range(args.rounds):
+    for r in range(args.rounds):
         for name, call in legs.items():
             carry = jnp.int32(0)
             t0 = time.perf_counter()
             for _i in range(args.iters):
-                w = jnp.asarray(w8).at[0, 0].set((tag + carry) % 127)
-                carry = jnp.max(call(xs[name], w))
+                carry = call(x_dev, w_dev, jnp.int32(tag), carry)
                 tag += 1
             _ = int(np.asarray(carry))
             times[name].append((time.perf_counter() - t0) / args.iters)
+        print(f"# round {r + 1}/{args.rounds} done", file=sys.stderr,
+              flush=True)
 
     for name, ts in times.items():
         med = float(np.median(ts))
