@@ -262,3 +262,112 @@ def test_idt_per_slot_chunked_equals_unchunked():
     whole = idt.idt_per_slot(frames, track_out, chunk=t)
     chunked = idt.idt_per_slot(frames, track_out, chunk=4)
     np.testing.assert_allclose(chunked, whole, rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------------- learned codebooks
+
+
+@pytest.fixture()
+def _clean_codebooks():
+    """Ensure the registry never leaks across tests."""
+    yield
+    idt.set_codebooks(None)
+
+
+def _fit_fixture_frames(n_videos=2, t=8):
+    vids = []
+    for v in range(n_videos):
+        frames, _, _ = _moving_vs_static_frames(t=t)
+        # vary content per video (different global offset)
+        vids.append(frames + 10.0 * v)
+    return vids
+
+
+def test_fit_codebooks_shapes_unit_norm_determinism(_clean_codebooks):
+    vids = _fit_fixture_frames()
+    cbs1 = idt.fit_codebooks(vids, kmeans_iters=5)
+    cbs2 = idt.fit_codebooks(vids, kmeans_iters=5)
+    assert set(cbs1) == {"hog", "hof", "mbh"}
+    for fam, dim in (("hog", idt.HOG_DIM), ("hof", idt.HOF_DIM),
+                     ("mbh", idt.MBH_DIM)):
+        cb = cbs1[fam]
+        assert cb.shape == (idt.WORDS, dim)
+        np.testing.assert_allclose(
+            np.linalg.norm(cb, axis=1), 1.0, atol=1e-4
+        )
+        np.testing.assert_array_equal(cb, cbs2[fam])
+
+
+def test_learned_codebooks_improve_quantization(_clean_codebooks):
+    """The k-means objective on in-distribution descriptors: mean max
+    cosine similarity to the codebook must IMPROVE over the seeded
+    fallback (the learned codewords actually model the data), so the
+    separation capacity of the BoW blocks holds or improves."""
+    vids = _fit_fixture_frames()
+    cbs = idt.fit_codebooks(vids, kmeans_iters=15, seed=0)
+
+    # held-out descriptors from a THIRD clip (same texture statistics)
+    frames, static_box, moving_boxes = _moving_vs_static_frames(t=8)
+    frames = frames + 5.0
+    maps = idt.compute_idt_maps(frames)
+    rng = np.random.RandomState(9)
+    n_b = 24
+    hs, ws = maps.hog.shape[1] - 1, maps.hog.shape[2] - 1
+    cx = rng.uniform(0, ws, n_b)
+    cy = rng.uniform(0, hs, n_b)
+    sz = rng.uniform(4, 10, n_b)
+    boxes = jnp.asarray(
+        np.stack([cx - sz / 2, cy - sz / 2, cx + sz / 2, cy + sz / 2], -1),
+        jnp.float32,
+    )
+    for fam, ii in (("hog", maps.hog), ("hof", maps.hof), ("mbh", maps.mbh)):
+        desc = np.asarray(
+            jax.vmap(lambda m: idt.box_cell_sums(m, boxes))(ii)
+        ).reshape(-1, {"hog": idt.HOG_DIM, "hof": idt.HOF_DIM,
+                       "mbh": idt.MBH_DIM}[fam])
+        desc = desc[np.linalg.norm(desc, axis=1) > 1e-9]
+        x = desc / np.linalg.norm(desc, axis=1, keepdims=True)
+        dim = x.shape[1]
+        seeded = np.asarray(idt.seeded_codebook(fam, dim))
+        sim_seeded = (x @ seeded.T).max(axis=1).mean()
+        sim_learned = (x @ cbs[fam].T).max(axis=1).mean()
+        assert sim_learned > sim_seeded, (
+            f"{fam}: learned {sim_learned:.4f} <= seeded {sim_seeded:.4f}"
+        )
+
+
+def test_set_codebooks_takes_effect_and_roundtrips(tmp_path,
+                                                   _clean_codebooks):
+    frames, static_box, moving_boxes = _moving_vs_static_frames(t=6)
+    t = frames.shape[0]
+    track_out = {
+        "tlwh": np.stack(
+            [np.tile(static_box, (t, 1)), moving_boxes[:t]], axis=1
+        ),
+        "visible": np.ones((t, 2), bool),
+    }
+    base = idt.idt_per_slot(frames, track_out)
+
+    cbs = idt.fit_codebooks([frames], kmeans_iters=5)
+    path = str(tmp_path / "cb.npz")
+    idt.save_codebooks(path, cbs)
+    loaded = idt.load_codebooks(path)
+    for fam in cbs:
+        np.testing.assert_array_equal(loaded[fam], cbs[fam])
+
+    idt.set_codebooks(loaded)
+    learned = idt.idt_per_slot(frames, track_out)
+    assert learned.shape == base.shape
+    assert not np.allclose(learned, base), (
+        "learned codebooks produced identical assignments to the fallback"
+    )
+    # assignments are still distributions per family block
+    for lo, width in ((0, idt.WORDS), (idt.WORDS, idt.WORDS),
+                      (2 * idt.WORDS, idt.WORDS)):
+        s = learned[..., lo : lo + width].sum(-1)
+        vis = track_out["visible"]
+        np.testing.assert_allclose(s[vis], 1.0, atol=1e-3)
+
+    idt.set_codebooks(None)
+    restored = idt.idt_per_slot(frames, track_out)
+    np.testing.assert_allclose(restored, base, rtol=1e-6, atol=1e-7)

@@ -105,6 +105,42 @@ def main():
                              ["training", "validation"])
         num_classes = len(VIDOR_OBJECTS)
 
+    if cfg.FEATURES.APPEARANCE == "idt":
+        # learned BoW codebooks: fit once on train-split frames at
+        # preprocess time, stored as an artifact; seeded-random codebooks
+        # remain the automatic fallback when no artifact exists
+        # (the reference's BoW blocks likewise come from codebooks trained
+        # on dataset descriptors, lib/dataset/vrdataset.py:219-242)
+        from tspn_tpu.features.idt import (
+            fit_codebooks,
+            load_codebooks,
+            save_codebooks,
+            set_codebooks,
+        )
+
+        cb_path = os.path.join(args.output_dir, "features",
+                               "idt_codebooks.npz")
+        if os.path.exists(cb_path):
+            set_codebooks(load_codebooks(cb_path))
+            logger.info(f"idt codebooks loaded: {cb_path}")
+        else:
+            fit_split = next(
+                (s for s in ("train", "training")
+                 if s in basedata.split_index),
+                args.split,
+            )
+            fit_vids = basedata.get_index(fit_split)[:8]
+            cbs = fit_codebooks(
+                load_video_frames(args.frame_dir, v, args.image_size)[0]
+                for v in fit_vids
+            )
+            save_codebooks(cb_path, cbs)
+            set_codebooks(cbs)
+            logger.info(
+                f"idt codebooks fit on {len(fit_vids)} {fit_split} "
+                f"videos -> {cb_path}"
+            )
+
     det_cfg = DetectionConfig(num_classes=num_classes, depth=args.depth)
     model = FasterRCNN(
         cfg=det_cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32

@@ -25,10 +25,13 @@ TPU-first formulation (everything static-shape, batched, jitted):
     images turn "pool a 2x2 cell grid inside ANY box" into 4 gathers
     per cell, so thousands of (frame, slot) boxes cost one vectorized
     gather pass — the same trick as the RoIAlign gather->matmul kernel;
-  * bag-of-words assignment is a single matmul against a fixed
-    unit-norm codebook (1000 words/family) + softmax — MXU work, not a
-    scalarizing nearest-neighbor loop. Codebooks are deterministic
-    (seeded), mirroring the reference's fixed private codebooks.
+  * bag-of-words assignment is a single matmul against a unit-norm
+    codebook (1000 words/family) + softmax — MXU work, not a
+    scalarizing nearest-neighbor loop. Codebooks are LEARNED from
+    dataset descriptors (fit_codebooks: spherical k-means at preprocess
+    time, stored as an npz artifact — mirroring how the reference's
+    private codebooks were trained), with deterministic seeded
+    codebooks as the automatic fallback when no artifact exists.
 
 Per (frame, track-slot) the three families' assignment vectors are
 concatenated to (3000,). Averaging assignments over a tracklet's
@@ -214,12 +217,164 @@ def _l2n(x: jnp.ndarray) -> jnp.ndarray:
     return x / jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
 
 
-def codebook(family: str, dim: int, words: int = WORDS) -> jnp.ndarray:
+# learned codebooks (fit_codebooks / set_codebooks) take precedence over
+# the seeded fallback; keyed "hog"/"hof"/"mbh" -> (WORDS, dim) float32
+_ACTIVE_CODEBOOKS: Optional[Dict[str, np.ndarray]] = None
+_FAMILY_DIMS = {"hog": HOG_DIM, "hof": HOF_DIM, "mbh": MBH_DIM}
+
+
+def seeded_codebook(family: str, dim: int, words: int = WORDS) -> jnp.ndarray:
     """Deterministic unit-norm codebook (words, dim). Seeded per family —
-    the stand-in for the reference pipeline's fixed private codebooks."""
+    the fallback stand-in for the reference pipeline's fixed private
+    codebooks (used when no learned codebooks are fit/loaded)."""
     seed = {"hog": 11, "hof": 13, "mbh": 17}[family]
     cb = jax.random.normal(jax.random.PRNGKey(seed), (words, dim), jnp.float32)
     return _l2n(cb)
+
+
+def codebook(family: str, dim: int, words: int = WORDS) -> jnp.ndarray:
+    """Active codebook for a family: the learned one when registered
+    (set_codebooks / load_codebooks), else the seeded fallback.
+
+    The reference's BoW blocks come from codebooks TRAINED on dataset
+    descriptors (/root/reference/lib/dataset/vrdataset.py:219-242
+    documents the consumed layout; the training pipeline is unpublished).
+    fit_codebooks() is this framework's equivalent producer."""
+    if _ACTIVE_CODEBOOKS is not None and family in _ACTIVE_CODEBOOKS:
+        cb = _ACTIVE_CODEBOOKS[family]
+        assert cb.shape == (words, dim), (family, cb.shape, (words, dim))
+        return jnp.asarray(cb)
+    return seeded_codebook(family, dim, words)
+
+
+def set_codebooks(cbs: Optional[Dict[str, np.ndarray]]) -> None:
+    """Register learned codebooks ({family: (WORDS, dim)}) or None to
+    restore the seeded fallback. Takes effect immediately — the
+    assignment program receives codebooks as runtime inputs, not traced
+    constants."""
+    global _ACTIVE_CODEBOOKS
+    if cbs is not None:
+        for fam, cb in cbs.items():
+            want = (WORDS, _FAMILY_DIMS[fam])
+            assert cb.shape == want, (fam, cb.shape, want)
+    _ACTIVE_CODEBOOKS = (
+        None
+        if cbs is None
+        else {k: np.asarray(v, np.float32) for k, v in cbs.items()}
+    )
+
+
+def save_codebooks(path: str, cbs: Dict[str, np.ndarray]) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **{k: np.asarray(v, np.float32) for k, v in cbs.items()})
+
+
+def load_codebooks(path: str) -> Dict[str, np.ndarray]:
+    with np.load(path) as z:
+        return {k: np.asarray(z[k], np.float32) for k in z.files}
+
+
+def _spherical_kmeans(
+    desc: np.ndarray, init: np.ndarray, iters: int = 25
+) -> np.ndarray:
+    """Spherical k-means on L2-normalized descriptors (N, D) from `init`
+    (K, D) unit-norm centers: assign by max cosine, update by normalized
+    cluster mean; empty clusters keep their previous center (graceful
+    when N << K on small fixtures). Deterministic, NumPy (host — the
+    descriptor sets are small)."""
+    x = desc / np.maximum(
+        np.linalg.norm(desc, axis=1, keepdims=True), 1e-12
+    )
+    c = np.array(init, np.float64)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)  # (N,)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, x)
+        norms = np.linalg.norm(sums, axis=1, keepdims=True)
+        upd = norms[:, 0] > 1e-12
+        c[upd] = sums[upd] / norms[upd]
+    return c.astype(np.float32)
+
+
+def fit_codebooks(
+    frames_list,
+    words: int = WORDS,
+    boxes_per_frame: int = 16,
+    max_frames_per_video: int = 48,
+    kmeans_iters: int = 25,
+    seed: int = 0,
+    track_boxes_list=None,
+) -> Dict[str, np.ndarray]:
+    """Fit per-family codebooks on real descriptor statistics.
+
+    frames_list: iterable of (T, H, W, 3) frame arrays (training videos).
+    track_boxes_list: optional matching iterable of (T, K, 4) tlwh boxes
+    (original pixel coords) whose descriptors are added to the sample —
+    the boxes the assignments will actually pool at runtime.
+
+    Descriptors are the SAME box_cell_sums vectors the assignment path
+    computes (one per (frame, box)); sampling uses seeded random boxes of
+    varied scale/aspect so the codebooks cover the map statistics even
+    without tracks. K-means initializes from the seeded fallback
+    codebook, so with zero samples this degrades to exactly the fallback.
+    -> {"hog"/"hof"/"mbh": (words, dim) float32 unit-norm}
+    """
+    rng = np.random.RandomState(seed)
+    samples: Dict[str, list] = {"hog": [], "hof": [], "mbh": []}
+    track_iter = iter(track_boxes_list) if track_boxes_list is not None else None
+    for frames in frames_list:
+        frames = np.asarray(frames)
+        t = frames.shape[0]
+        keep = (
+            np.arange(t)
+            if t <= max_frames_per_video
+            else rng.choice(t, max_frames_per_video, replace=False)
+        )
+        keep.sort()
+        maps = compute_idt_maps(frames[keep])
+        hs = maps.hog.shape[1] - 1
+        ws = maps.hog.shape[2] - 1
+        n_f = len(keep)
+        # seeded random boxes: centers uniform, log-uniform sizes
+        cx = rng.uniform(0, ws, (n_f, boxes_per_frame))
+        cy = rng.uniform(0, hs, (n_f, boxes_per_frame))
+        bw = np.exp(rng.uniform(np.log(4), np.log(max(ws // 2, 5)),
+                                (n_f, boxes_per_frame)))
+        bh = np.exp(rng.uniform(np.log(4), np.log(max(hs // 2, 5)),
+                                (n_f, boxes_per_frame)))
+        boxes = np.stack(
+            [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
+        ).astype(np.float32)  # (n_f, B, 4) map coords
+        if track_iter is not None:
+            tlwh = np.asarray(next(track_iter), np.float32)[keep]
+            tb = np.concatenate(
+                [tlwh[..., :2], tlwh[..., :2] + tlwh[..., 2:]], axis=-1
+            ) * maps.scale
+            boxes = np.concatenate([boxes, tb], axis=1)
+        descs = jax.vmap(
+            lambda h, f, m, b: (
+                box_cell_sums(h, b), box_cell_sums(f, b), box_cell_sums(m, b)
+            )
+        )(maps.hog, maps.hof, maps.mbh, jnp.asarray(boxes))
+        for fam, d in zip(("hog", "hof", "mbh"), descs):
+            d = np.asarray(d, np.float32).reshape(-1, d.shape[-1])
+            d = d[np.linalg.norm(d, axis=1) > 1e-9]
+            samples[fam].append(d)
+
+    out = {}
+    for fam, dim in _FAMILY_DIMS.items():
+        init = np.asarray(seeded_codebook(fam, dim, words))
+        d = (
+            np.concatenate(samples[fam], axis=0)
+            if samples[fam]
+            else np.zeros((0, dim), np.float32)
+        )
+        out[fam] = (
+            _spherical_kmeans(d, init, iters=kmeans_iters) if len(d) else init
+        )
+    return out
 
 
 def bow_assign(desc: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
@@ -279,14 +434,19 @@ def _slot_assign_core(
     hof_ii: jnp.ndarray,
     mbh_ii: jnp.ndarray,
     boxes_map: jnp.ndarray,  # (K, 4) xyxy map coords for ONE frame
+    cb_hog: jnp.ndarray,
+    cb_hof: jnp.ndarray,
+    cb_mbh: jnp.ndarray,
 ):
+    # codebooks are RUNTIME inputs (not traced constants) so
+    # set_codebooks() takes effect without retracing hazards
     def fam(ii, cb):
         desc = box_cell_sums(ii, boxes_map)
         return bow_assign(desc, cb)
 
-    a_hog = fam(hog_ii, codebook("hog", HOG_DIM))
-    a_hof = fam(hof_ii, codebook("hof", HOF_DIM))
-    a_mbh = fam(mbh_ii, codebook("mbh", MBH_DIM))
+    a_hog = fam(hog_ii, cb_hog)
+    a_hof = fam(hof_ii, cb_hof)
+    a_mbh = fam(mbh_ii, cb_mbh)
     return jnp.concatenate([a_hog, a_hof, a_mbh], axis=-1)  # (K, IDT_DIM)
 
 
@@ -302,9 +462,14 @@ def slot_idt_assignments(
     t, k = tlwh.shape[:2]
     boxes = np.concatenate([tlwh[..., :2], tlwh[..., :2] + tlwh[..., 2:]], -1)
     boxes_map = jnp.asarray(boxes, jnp.float32) * maps.scale
-    assigns = jax.vmap(_slot_assign_core)(
-        maps.hog, maps.hof, maps.mbh, boxes_map
+    cbs = (
+        codebook("hog", HOG_DIM),
+        codebook("hof", HOF_DIM),
+        codebook("mbh", MBH_DIM),
     )
+    assigns = jax.vmap(
+        _slot_assign_core, in_axes=(0, 0, 0, 0, None, None, None)
+    )(maps.hog, maps.hof, maps.mbh, boxes_map, *cbs)
     mask = jnp.asarray(np.asarray(visible, bool))[..., None]
     return np.asarray(jnp.where(mask, assigns, 0.0), np.float32)
 
