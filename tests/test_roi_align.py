@@ -2,7 +2,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-from tspn_tpu.ops.roi_align import roi_align, roi_align_pallas, roi_align_xla
+from tspn_tpu.ops.roi_align import (
+    roi_align,
+    roi_align_pallas,
+    roi_align_separable,
+    roi_align_xla,
+)
 
 
 def _oracle_roi_align(feat, boxes, output_size, sampling_ratio):
@@ -69,7 +74,7 @@ def test_roi_align_matches_oracle(rng):
         ], np.float32),
     ])
     for out_size, s in [(7, 2), (4, 1)]:
-        for impl in (roi_align_xla, roi_align_pallas):
+        for impl in (roi_align_xla, roi_align_pallas, roi_align_separable):
             ours = np.asarray(
                 impl(jnp.asarray(feat), jnp.asarray(boxes), out_size, s)
             )
@@ -113,6 +118,51 @@ def test_roi_align_pallas_matches_xla(rng):
         )
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_separable_matches_xla_and_differentiates(rng):
+    """The separable two-einsum formulation (the TPU default) must equal
+    the gather formulation — including boundary boxes — and its feature
+    gradients must match the gather path's (it replaces roi_align_xla on
+    the detector TRAINING path, detection/rcnn.py::_roi_forward)."""
+    import jax
+
+    h, w, c = 20, 24, 8
+    feat = rng.rand(h, w, c).astype(np.float32)
+    boxes = np.array(
+        [
+            [2.0, 3.0, 10.0, 12.0],
+            [-3.0, -2.0, 5.0, 6.0],
+            [18.0, 14.0, 30.0, 26.0],
+            [0.0, 0.0, 24.0, 20.0],
+            [5.0, 5.0, 5.0, 5.0],
+        ],
+        np.float32,
+    )
+    for out_size, s in [(7, 2), (4, 1), (14, 2)]:
+        ref = np.asarray(
+            roi_align_xla(jnp.asarray(feat), jnp.asarray(boxes), out_size, s)
+        )
+        ours = np.asarray(
+            roi_align_separable(
+                jnp.asarray(feat), jnp.asarray(boxes), out_size, s
+            )
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+    cot = rng.rand(len(boxes), 7, 7, c).astype(np.float32)
+
+    def pooled_sum(impl, f):
+        out = impl(f, jnp.asarray(boxes), 7, 2)
+        return jnp.sum(out * jnp.asarray(cot))
+
+    g_ref = jax.grad(lambda f: pooled_sum(roi_align_xla, f))(jnp.asarray(feat))
+    g_sep = jax.grad(lambda f: pooled_sum(roi_align_separable, f))(
+        jnp.asarray(feat)
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_sep), np.asarray(g_ref), rtol=1e-4, atol=1e-4
+    )
 
 
 def test_roi_align_linear_gradient(rng):

@@ -90,15 +90,16 @@ class FasterRCNN(nn.Module):
     ):
         """boxes (R, 4) image coords -> (cls_logits (R, C+1), deltas (R, C, 4)).
 
-        inference=True routes RoIAlign through the Pallas matmul kernel
-        on TPU; training keeps the differentiable XLA formulation
-        (pallas_call has no autodiff rule — gradients w.r.t. the
-        backbone features must flow through RoIAlign).
+        Both training and inference route through the separable-einsum
+        RoIAlign on TPU (roi_align dispatch): it is the fastest measured
+        variant (tools/bench_roialign_variants.py) AND differentiable,
+        so gradients w.r.t. the backbone features flow through it —
+        unlike the earlier Pallas big-G kernel, which had no autodiff
+        rule and forced training onto the slow gather formulation.
         """
-        from tspn_tpu.ops.roi_align import roi_align_xla
-
+        del inference  # same path; kept for call-site compatibility
         c = self.cfg
-        align = roi_align if inference else roi_align_xla
+        align = roi_align
         pooled = align(
             feats, boxes / c.stride, output_size=c.roi_pool_size, sampling_ratio=2
         )

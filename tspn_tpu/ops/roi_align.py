@@ -15,14 +15,28 @@ Two formulations:
   C4-head shapes (256 RoIs x 28 samples x 40 x 1024), measured 38 ms of
   a 42 ms detect on the v5e chip.
 
-- `roi_align_pallas` (default on TPU): per RoI, the ENTIRE bilinear
-  sample + s x s average pool collapses into one matmul
+- `roi_align_pallas`: per RoI, the ENTIRE bilinear sample + s x s
+  average pool collapses into one matmul
       out[(i,j), c] = sum_{y,x} G[(i,j), (y,x)] * F[(y,x), c]
   because the pooled weight factorizes separably:
       G[(i,j), (y,x)] = (1/s^2) * (sum_a wy[i*s+a, y]) * (sum_b wx[j*s+b, x]).
   G is built pointwise on a (out^2, H*W) grid from the box coordinates
   (no gathers at all) and hits the MXU against the feature map, which
-  stays resident in VMEM across the RoI grid. ~10x the XLA formulation.
+  stays resident in VMEM across the RoI grid. ~10x the gather
+  formulation.
+
+- `roi_align_separable` (default on TPU): exploits the SAME separable
+  factorization but never materializes the big G — two chained einsums
+      tmp[(r,i),w,c] = sum_h wy[r,i,h] * F[h,w,c]
+      out[r,i,j,c]   = sum_w wx[r,j,w] * tmp[r,i,w,c]
+  need ~out/(2*HW-per-axis) = ~11x fewer FLOPs than the big-G dot at
+  C4-head shapes. Measured (tools/bench_roialign_variants.py, v5e,
+  batch 4 x 256 RoIs x 40^2 x 1024): 8.3 ms vs the Pallas kernel's
+  11.2 ms at f32 — and the Pallas kernel's const-G lower bound is
+  9.4 ms, i.e. its main dot ALONE costs more than the whole separable
+  pass; no in-kernel schedule can win, the FLOP count is the lever
+  (DESIGN §6c). Pure XLA and differentiable, so it also replaces the
+  gather formulation on the detector TRAINING path.
 """
 
 from __future__ import annotations
@@ -200,15 +214,53 @@ def roi_align_pallas(
     return pooled[:, : out * out].reshape(r, out, out, c).astype(features.dtype)
 
 
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
+def roi_align_separable(
+    features: jnp.ndarray,   # (H, W, C)
+    boxes: jnp.ndarray,      # (R, 4) xyxy in feature coordinates
+    output_size: int = 14,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Separable two-einsum formulation (see module docstring): the
+    per-axis pooled weight tables are tiny ((R, out, H) / (R, out, W)),
+    built pointwise, and the pool is two chained contractions — ~11x
+    fewer FLOPs than the big-G matmul at C4-head shapes, differentiable,
+    and the fastest variant measured on the v5e
+    (tools/bench_roialign_variants.py)."""
+    h, w, _c = features.shape
+    out, s = output_size, sampling_ratio
+
+    lo_x = boxes[:, 0] - 0.5
+    lo_y = boxes[:, 1] - 0.5
+    bw = jnp.clip(boxes[:, 2] - boxes[:, 0], 1e-6)
+    bh = jnp.clip(boxes[:, 3] - boxes[:, 1], 1e-6)
+
+    def tables(lo, extent, size):
+        bin_of = jnp.arange(out)[:, None]
+        coords = jnp.arange(size)[None, :]
+        fn = _pooled_axis_weights(
+            lo[:, None, None], extent[:, None, None], size, out, s,
+            coords[None],
+        )
+        return sum(fn(bin_of[None], a) for a in range(s))  # (R, out, size)
+
+    wy = tables(lo_y, bh, h).astype(features.dtype)
+    wx = tables(lo_x, bw, w).astype(features.dtype)
+    tmp = jnp.einsum("rih,hwc->riwc", wy, features)
+    pooled = jnp.einsum("rjw,riwc->rijc", wx, tmp)
+    return (pooled * (1.0 / (s * s))).astype(features.dtype)
+
+
 def roi_align(
     features: jnp.ndarray,
     boxes: jnp.ndarray,
     output_size: int = 14,
     sampling_ratio: int = 2,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas matmul formulation on TPU, gather formulation
-    elsewhere (the Pallas kernel also runs in interpret mode on CPU but
-    the gather path is faster there)."""
+    """Dispatch: separable two-einsum formulation on TPU (fastest
+    measured variant, tools/bench_roialign_variants.py), gather
+    formulation elsewhere (fewer tiny-op dispatches on CPU)."""
     if jax.default_backend() == "tpu":
-        return roi_align_pallas(features, boxes, output_size, sampling_ratio)
+        return roi_align_separable(features, boxes, output_size,
+                                   sampling_ratio)
     return roi_align_xla(features, boxes, output_size, sampling_ratio)
