@@ -275,3 +275,85 @@ def test_joint_loss_terms_finite_and_trainable(span_env):
     g = grads["classifier"]
     leaf_norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)]
     assert sum(leaf_norms) > 0
+
+
+@pytest.fixture(scope="module")
+def trained_segment(span_env):
+    """Segment-mode baseline (shipped configs/baseline.yaml semantics)
+    trained on the SAME fixture as the span model, for mode-vs-mode
+    quality comparison."""
+    from tspn_tpu.runtime.train import train
+
+    cfg, dataset = span_env
+    cfg = cfg.clone()
+    cfg.RELPN.USE_PPN = False
+    cfg.RELPN.USE_DPN = False
+    cfg.SOLVER.MAX_ITER = 150
+    cfg.SOLVER.SCHEDULER.MILESTONES = [80, 120]
+    cfg.SOLVER.SCHEDULER.WARMUP_ITERS = 30
+    cfg.ETC.SAVE_FREQ = 150
+    cfg.BUCKETS.SEGMENTS_PER_STEP = 8
+    state = train(cfg, dataset)
+    return cfg, dataset, state
+
+
+def test_span_mode_quality_vs_segment_mode(span_env, trained_segment):
+    """The paper claims the span formulation is as accurate and ~2x
+    cheaper (/root/reference/README.md:17). The speed side is measured
+    by tools/bench_span_vs_segment.py; this pins the QUALITY side on the
+    fixture: joint-objective span-mode relation quality must land within
+    a stated fraction of segment-mode (same data, same eval)."""
+    from collections import defaultdict
+
+    from tspn_tpu import association
+    from tspn_tpu.models.tspn import build_model
+    from tspn_tpu.runtime.predict import predict_segments
+    from tspn_tpu.runtime.span_predict import detect_spans
+    from tspn_tpu.runtime.span_train import train_span_model
+    from tspn_tpu.data.vrdataset import SegmentDataset
+
+    seg_cfg, dataset, state = trained_segment
+    seg_ds = SegmentDataset(seg_cfg, dataset, phase="test")
+    model = build_model(seg_cfg)
+    short_term = predict_segments(seg_cfg, model, state.params, seg_ds)
+    by_vid = defaultdict(list)
+    for index, payload in short_term.items():
+        by_vid[index[0]].append((index, payload))
+    seg_results = {
+        vid: association.greedy_relational_association(dataset, v, 100)
+        for vid, v in by_vid.items()
+    }
+    seg_map, seg_rec, _ = _eval_span_results(dataset, seg_results)
+
+    cfg, _ = span_env
+    cfg = cfg.clone()
+    cfg.RELPN.USE_DPN = True
+    cfg.RELPN.DPN.JOINT_OBJECTIVE = True
+    # 600 iters: the video-level model converges slower than the
+    # segment model (one sequence per chain pair vs one row per segment
+    # pair); the measured quality relationship (DESIGN §8 round 4) is
+    # at this budget
+    span_model, span_params = train_span_model(
+        cfg, dataset, max_iter=600, lr=2e-3
+    )
+    span_results = detect_spans(cfg, dataset, span_model, span_params)
+    span_map, span_rec, _ = _eval_span_results(dataset, span_results)
+
+    assert seg_map > 0.1, f"segment baseline failed to train ({seg_map})"
+    # stated fraction (MEASURED, round 4, DESIGN §8): at fixture scale
+    # the video-level DPN relness head memorizes its tiny training set,
+    # so span mode does NOT reach the reference's as-accurate claim —
+    # with the in-span-evidence score it holds ~0.3x segment mAP /
+    # ~0.4x segment R@50 on the 6-test-video probe fixture
+    # (tools/bench_span_vs_segment.py records the exact pair); on THIS
+    # module's 2-test-video fixture the mAP ratio is ~0.11 (per-video
+    # AP over 2 videos is high-variance). The floors pin the measured
+    # relationship with margin: regressions of the scoring composition
+    # fall far under them (the pre-round-4 relness*rel_prob score:
+    # 0.06x mAP here).
+    assert span_map >= 0.08 * seg_map, (
+        f"span mAP {span_map:.4f} < 0.08 x segment mAP {seg_map:.4f}"
+    )
+    assert span_rec[50] >= 0.2 * seg_rec[50], (
+        f"span R@50 {span_rec[50]:.4f} < 0.2 x segment {seg_rec[50]:.4f}"
+    )

@@ -15,10 +15,17 @@ number on it.
 Protocol: synthetic fixture (same generator as bench.py's e2e leg),
 both modes warmed (trace/compile excluded), wall-clock of the
 scored+assembled portion per mode, medians over repeats. Modes share
-the same per-segment h5 artifacts and the same trained parameters where
-applicable; timing is what differs (segment mode pays per-segment
-scoring + host association, span mode pays per-video chain building +
-span scoring).
+the same per-segment h5 artifacts; timing is what differs (segment mode
+pays per-segment scoring + host association, span mode pays per-video
+chain building + span scoring).
+
+Quality column (VERDICT r3 item 3): BOTH models are trained on the
+fixture's train split (segment: the baseline recipe of
+tests/test_e2e_pipeline.py; span: the joint objective), and both modes'
+outputs are scored with the SAME relation evaluation
+(tspn_tpu/evaluation/relation.py, the reference's
+visual_relation_detection.py:63 metrics) against the fixture GT — so
+the speed ratio is reported AT a measured quality, not in a vacuum.
 
 Usage: python tools/bench_span_vs_segment.py [--repeats 3] [--cpu]
 Prints one JSON line.
@@ -42,7 +49,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--repeats", type=int, default=3)
-    parser.add_argument("--span_iters", type=int, default=60)
+    # 600: the video-level model converges slower than the segment one
+    # (DESIGN §8 round 4); quality numbers are recorded at this budget
+    parser.add_argument("--span_iters", type=int, default=600)
     parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend"
     )
@@ -62,18 +71,20 @@ def main():
         generate_annotations,
         generate_segment_artifacts,
     )
-    from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+    from tspn_tpu.data.vrdataset import SegmentDataset
+    from tspn_tpu.evaluation import eval_visual_relation
     from tspn_tpu.models.tspn import build_model
     from tspn_tpu.runtime.predict import build_infer, predict_segments
     from tspn_tpu.runtime.span_predict import detect_spans
     from tspn_tpu.runtime.span_train import train_span_model
+    from tspn_tpu.runtime.train import train
 
     work = tempfile.mkdtemp(prefix="tspn_span_vs_seg_")
     try:
         data_dir = os.path.join(work, "vidvrd")
         out_dir = os.path.join(work, "out")
         generate_annotations(
-            data_dir, num_train=2, num_test=6, frame_count=120,
+            data_dir, num_train=6, num_test=6, frame_count=120,
             objects_per_video=4, relations_per_video=5, seed=5,
             num_categories=8, num_predicate_types=16,
         )
@@ -85,29 +96,33 @@ def main():
 
         cfg = get_default_config()
         cfg.PREDICT.PREDICATE_NUM = dataset.get_predicate_num()
-        cfg.RELPN.USE_PPN = False
-        cfg.RELPN.USE_DPN = True
-        cfg.RELPN.DPN.JOINT_OBJECTIVE = True
         cfg.DATASET.TEST_BATCH_SIZE = 16
+        cfg.SOLVER.MAX_ITER = 150
+        cfg.SOLVER.SCHEDULER.MILESTONES = [80, 120]
+        cfg.SOLVER.SCHEDULER.WARMUP_ITERS = 30
+        cfg.ETC.SAVE_FREQ = 150
+        cfg.BUCKETS.SEGMENTS_PER_STEP = 8
 
-        # ---- shared model state -------------------------------------
-        seg_model = build_model(cfg)
-        bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
-        p = bucket * (bucket - 1)
-        example = {
-            "feats": np.zeros((1, p, effective_feature_dim(cfg)), np.float32),
-            "pairs": np.zeros((1, p, 2), np.int32),
-            "labels": np.zeros((1, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
-            "pair_mask": np.zeros((1, p), np.float32),
-            "cls_logits": np.zeros((1, bucket, cfg.PREDICT.OBJECT_NUM), np.float32),
-            "track_mask": np.zeros((1, bucket), np.float32),
-        }
-        seg_params = seg_model.init(jax.random.PRNGKey(0), example)["params"]
+        # segment leg = the shipped baseline semantics (PPN/DPN off,
+        # configs/baseline.yaml:16-17); span leg = the joint objective
+        cfg_seg = cfg.clone()
+        cfg_seg.RELPN.USE_PPN = False
+        cfg_seg.RELPN.USE_DPN = False
+        cfg_span = cfg.clone()
+        cfg_span.RELPN.USE_PPN = False
+        cfg_span.RELPN.USE_DPN = True
+        cfg_span.RELPN.DPN.JOINT_OBJECTIVE = True
+
+        # ---- train both models on the fixture's train split ----------
+        seg_model = build_model(cfg_seg)
+        seg_state = train(cfg_seg, dataset)
+        seg_params = seg_state.params
         span_model, span_params = train_span_model(
-            cfg, dataset, max_iter=args.span_iters, lr=1e-3
+            cfg_span, dataset, max_iter=args.span_iters, lr=2e-3
         )
 
         # ---- segment mode: per-segment scoring + greedy association --
+        cfg = cfg_seg
         test_ds = SegmentDataset(cfg, dataset, phase="test")
         infer = build_infer(cfg, seg_model, seg_params, test_ds)
 
@@ -126,7 +141,7 @@ def main():
 
         # ---- span mode: one span pass per video ----------------------
         def run_span_mode():
-            return detect_spans(cfg, dataset, span_model, span_params)
+            return detect_spans(cfg_span, dataset, span_model, span_params)
 
         n_segments = len(test_ds)
         n_videos = len(dataset.get_index("test"))
@@ -144,6 +159,18 @@ def main():
 
         seg_t = float(np.median(seg_times))
         span_t = float(np.median(span_times))
+
+        # ---- quality: same relation metrics on both modes' outputs ---
+        groundtruth = {
+            vid: dataset.get_relation_insts(vid)
+            for vid in dataset.get_index("test")
+        }
+        seg_map, seg_rec, _ = eval_visual_relation(
+            groundtruth, seg_out, verbose=False
+        )
+        span_map, span_rec, _ = eval_visual_relation(
+            groundtruth, span_out, verbose=False
+        )
         print(json.dumps({
             "metric": "span_vs_segment_inference_speedup",
             "value": round(seg_t / span_t, 2),
@@ -154,6 +181,10 @@ def main():
             "num_segments": n_segments,
             "segment_mode_relations": sum(len(v) for v in seg_out.values()),
             "span_mode_relations": sum(len(v) for v in span_out.values()),
+            "segment_mode_map": round(float(seg_map), 4),
+            "segment_mode_r50": round(float(seg_rec[50]), 4),
+            "span_mode_map": round(float(span_map), 4),
+            "span_mode_r50": round(float(span_rec[50]), 4),
             "backend": jax.default_backend(),
         }))
     finally:

@@ -66,6 +66,7 @@ def train_span_model(
     videos_per_step: int = 4,
     joint_kwargs: Optional[dict] = None,
     use_mesh: bool = False,
+    weight_decay: float = 0.0,
 ):
     """Train SpanTSPN over the train split's video pair records.
 
@@ -108,7 +109,22 @@ def train_span_model(
         jnp.asarray(example["seq_feats"]), jnp.asarray(example["seq_mask"]),
         method=SpanTSPN.init_all,
     )["params"]
-    optimizer = optax.adam(lr)
+    # weight_decay: a video-level model sees ORDERS fewer training rows
+    # than the segment model on the same data (one sequence per chain
+    # pair vs one row per segment pair) and the DPN relness head
+    # memorizes (loss_relationness hits 0.0000 by iter ~40 on the
+    # synthetic fixture while held-out relness ordering stays
+    # near-random). NOTE: decoupled decay was swept (0 / 1e-3 / 1e-2,
+    # DESIGN §4 round 4) and did NOT restore relness generalization at
+    # fixture scale — the inference-side in-span evidence score
+    # (runtime/span_predict._jitted_propose) is what recovers ranking;
+    # the knob is kept for real-dataset scale where decay has data to
+    # trade against.
+    optimizer = (
+        optax.adamw(lr, weight_decay=weight_decay)
+        if weight_decay > 0.0
+        else optax.adam(lr)
+    )
     opt_state = optimizer.init(params)
 
     from tspn_tpu.models.span_tspn import span_tspn_joint_loss
