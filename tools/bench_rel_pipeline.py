@@ -18,6 +18,10 @@ no kernel rewrite, plus a manual emit_pipeline rewrite:
             pipeline is the thing the custom kernel must beat
   p5_emit   manual pltpu.emit_pipeline over row tiles inside one
             kernel invocation (grid=(1,)): explicit inner pipeline
+  p6/p7     k-split: grid=(row_tiles, 2|4) halves/quarters the
+            contraction per step (int32 scratch accumulator, bit-exact)
+            — finer DMA granularity than the row-only grid (round 4,
+            VERDICT r3 item 7)
 
 MEASURED (round 3e, DESIGN.md §7): p1 no gain; p2/p3 unsupported by
 this toolchain (only single/double buffering); p5 needs the scale
@@ -165,6 +169,66 @@ def make_emit_call(row_tile, buffers=2):
     return call
 
 
+def make_ksplit_call(row_tile, ks=2):
+    """grid=(row_tiles, ks): the 3072-wide contraction split into ks
+    half/quarter passes with an int32 VMEM scratch accumulator (bit-exact
+    — f32 accumulation would round: |acc| can exceed 2^24). Each grid
+    step's x-DMA is D/ks wide, so DMA granularity halves/quarters while
+    the MXU work per step shrinks the same way — finer-grained
+    DMA/compute interleaving than the row-only grid (VERDICT r3 item 7's
+    "1536-wide half-pass" experiment)."""
+    dk = D // ks
+
+    def kern(x_ref, s_ref, w_ref, sw_ref, b_ref, o_ref, acc_ref):
+        k = pl.program_id(1)
+        part = jax.lax.dot_general(
+            x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = part
+
+        @pl.when(k > 0)
+        def _accum():
+            acc_ref[...] = acc_ref[...] + part
+
+        @pl.when(k == ks - 1)
+        def _epilogue():
+            o_ref[:] = (
+                acc_ref[...].astype(jnp.float32) * s_ref[:, 0:1] * sw_ref[:]
+                + b_ref[:]
+            )
+
+    def call(x, s, w, sw, b):
+        p = x.shape[0]
+        n_tiles = -(-p // row_tile)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((p, RP), jnp.float32),
+            grid=(n_tiles, ks),
+            in_specs=[
+                pl.BlockSpec((row_tile, dk), lambda i, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_tile, 16), lambda i, k: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dk, RP), lambda i, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RP), lambda i, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RP), lambda i, k: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((row_tile, RP), lambda i, k: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((row_tile, RP), jnp.int32)],
+            interpret=_interp(),
+        )(x, s, w, sw.reshape(1, RP), b.reshape(1, RP))
+
+    return call
+
+
 def _time_interleaved(legs, rounds=5, warmup=2):
     for name in list(legs):
         step_fn, _ = legs[name]
@@ -192,7 +256,7 @@ def _time_interleaved(legs, rounds=5, warmup=2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--legs", default="p0,p1,p2,p3,p4,p5")
+    ap.add_argument("--legs", default="p0,p1,p2,p3,p4,p5,p6,p7")
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes on CPU interpret (correctness only)")
     ap.add_argument("--rounds", type=int, default=5)
@@ -226,6 +290,8 @@ def main():
                                          lookahead=True)),
         "p4": ("xla-int8", xla_rel),
         "p5": ("emit-pipe", make_emit_call(row_tile)),
+        "p6": ("ksplit2", make_ksplit_call(row_tile, ks=2)),
+        "p7": ("ksplit4", make_ksplit_call(row_tile, ks=4)),
     }
 
     # parity gate: every leg must match the XLA oracle bit-for-bit
