@@ -159,3 +159,101 @@ def test_vidor_relation_pipeline_end_to_end(vidor_env):
     assert len(out) > 0
     preds, iou, trackid = next(iter(out.values()))
     assert len(preds) > 0
+
+
+def test_vidor_long_video_scale(tmp_path):
+    """VidOR-length stress at test scale (SURVEY §5.7's concern; the
+    full-scale numbers come from tools/stress_vidor.py): a 1200-frame
+    video produces ~79 stride-15 segments, every record lands in a
+    configured fixed-shape tracklet bucket, and batched inference walks
+    the whole video without ragged shapes or memory growth per segment.
+    """
+    import resource
+
+    import jax
+
+    from tspn_tpu.config import get_default_config
+    from tspn_tpu.data.segments import (
+        get_output_dir,
+        segment_video,
+        set_output_dir,
+    )
+    from tspn_tpu.data.synthetic import (
+        generate_annotations,
+        generate_segment_artifacts,
+    )
+    from tspn_tpu.data.vrdataset import SegmentDataset, effective_feature_dim
+    from tspn_tpu.models.tspn import build_model
+    from tspn_tpu.runtime.predict import predict_segments
+
+    frames = 1200
+    anno_dir = str(tmp_path / "annotation")
+    generate_annotations(
+        anno_dir, num_train=1, num_test=1, frame_count=frames,
+        objects_per_video=5, relations_per_video=6, seed=17,
+        object_vocab=VIDOR_OBJECTS, predicate_vocab=VIDOR_PREDICATES,
+        num_categories=10, num_predicate_types=8,
+        vidor_format=True, splits=("training", "validation"),
+    )
+    dataset = VidOR(anno_dir, str(tmp_path / "videos"),
+                    ["training", "validation"], low_memory=True)
+    cfg = get_default_config()
+    cfg.merge_from_file(os.path.join(
+        os.path.dirname(__file__), "..", "configs", "vidor.yaml"
+    ))
+    cfg.PREDICT.PREDICATE_NUM = dataset.get_predicate_num()
+    cfg.DATASET.TEST_BATCH_SIZE = 16
+
+    prev_out = get_output_dir()
+    set_output_dir(str(tmp_path / "out"))
+    try:
+        generate_segment_artifacts(
+            dataset, str(tmp_path / "out"),
+            splits=("training", "validation"), seed=17,
+            num_objects=cfg.PREDICT.OBJECT_NUM,
+        )
+        # 30/15 tiling count holds at length
+        assert len(segment_video(0, frames)) == frames // 15 - 1
+
+        test_ds = SegmentDataset(cfg, dataset, phase="validation")
+        assert len(test_ds) >= frames // 15 - 5
+        from tspn_tpu.data.vrdataset import pick_bucket
+
+        buckets = {
+            pick_bucket(
+                test_ds.load_segment(i).num_proposals,
+                cfg.BUCKETS.NUM_TRACKLETS,
+            )
+            for i in range(0, len(test_ds), 7)
+        }
+        assert buckets <= set(cfg.BUCKETS.NUM_TRACKLETS), buckets
+
+        model = build_model(cfg)
+        bucket = min(cfg.BUCKETS.NUM_TRACKLETS)
+        p = bucket * (bucket - 1)
+        example = {
+            "feats": np.zeros((1, p, effective_feature_dim(cfg)), np.float32),
+            "pairs": np.zeros((1, p, 2), np.int32),
+            "labels": np.zeros((1, p, cfg.PREDICT.PREDICATE_NUM), np.float32),
+            "pair_mask": np.zeros((1, p), np.float32),
+            "cls_logits": np.zeros(
+                (1, bucket, cfg.PREDICT.OBJECT_NUM), np.float32
+            ),
+            "track_mask": np.zeros((1, bucket), np.float32),
+        }
+        params = model.init(jax.random.PRNGKey(0), example)["params"]
+
+        rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        out = predict_segments(cfg, model, params, test_ds)
+        rss_growth_mb = (
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss - rss_before
+        ) / 1024.0
+        assert len(out) == len(test_ds)
+        preds, iou, trackid = next(iter(out.values()))
+        assert len(preds) > 0
+        # fixed-shape batching: walking 79 segments must not accumulate
+        # per-segment device programs or host buffers (generous ceiling —
+        # the batch buffers themselves are ~100 MB at this layout)
+        assert rss_growth_mb < 1500, f"rss grew {rss_growth_mb:.0f} MB"
+    finally:
+        set_output_dir(prev_out)
