@@ -243,12 +243,18 @@ def bench_kernels():
     q8s_pairs_per_sec = p_total / np.median(t["q8s"])
     ref_pairs_per_sec = p_total / np.median(t["ref"])
 
+    def iqr(ts):
+        lo, hi = np.percentile(ts, [25, 75])
+        return [round(p_total / hi, 1), round(p_total / lo, 1)]
+
     return {
         "value": round(pairs_per_sec, 1),
         "vs_baseline": round(pairs_per_sec / ref_pairs_per_sec, 2),
         "value_iqr": [round(p_total / p75, 1), round(p_total / p25, 1)],
         "baseline_value": round(ref_pairs_per_sec, 1),
+        "baseline_iqr": iqr(t["ref"]),
         "q8s_value": round(q8s_pairs_per_sec, 1),
+        "q8s_iqr": iqr(t["q8s"]),
         "iters": {"opt": len(t["opt"]) * 25, "q8s": len(t["q8s"]) * 10,
                   "ref": len(t["ref"]) * 2 * segments},
     }
@@ -310,11 +316,12 @@ def bench_e2e():
         }
         params0 = model.init(jax.random.PRNGKey(0), example)["params"]
 
-        def run_leg(make_dataset, cfg_leg, repeats=3, pipeline_depth=2):
-            """Scored portion: one traced program per leg (trace/compile
-            = startup, excluded per the e2e metric definition); each
-            repeat's dispatches carry unique content via a cls_logits
-            epsilon (the tunnel memoizes repeated identical dispatches)."""
+        def prepare_leg(make_dataset, cfg_leg, pipeline_depth=2):
+            """One traced program per leg (trace/compile = startup,
+            excluded per the e2e metric definition); each timed run's
+            dispatches carry unique content via a cls_logits epsilon
+            (the tunnel memoizes repeated identical dispatches).
+            Returns run_once() -> (seconds, n_segments)."""
             ds0 = make_dataset()
             infer = build_infer(cfg_leg, model, params0, ds0)
             rep = [0]
@@ -328,25 +335,25 @@ def bench_e2e():
                 cfg_leg, model, params0, ds0, infer=infer, batch_hook=hook,
                 pipeline_depth=pipeline_depth,
             )
-            times, n_segs = [], 0
-            for i in range(repeats):
-                rep[0] = i + 1
+
+            def run_once():
+                rep[0] += 1
                 ds = make_dataset()
                 t0 = time.perf_counter()
                 out = predict_segments(
-                    cfg_leg, model, params0, ds, infer=infer, batch_hook=hook,
-                    pipeline_depth=pipeline_depth,
+                    cfg_leg, model, params0, ds, infer=infer,
+                    batch_hook=hook, pipeline_depth=pipeline_depth,
                 )
-                times.append(time.perf_counter() - t0)
-                n_segs = len(out)
-            return n_segs / float(np.median(times)), n_segs
+                return time.perf_counter() - t0, len(out)
+
+            return run_once
 
         cfg_q8f = cfg.clone()
         # batch 16 = configs/tspn.yaml's recommended inference batch; the
         # round-3e sweep (bs 4/8/16/32 x depth 2/3 on this fixture) put
         # bs=16 ~1.8x over bs=8 with diminishing returns past it
         cfg_q8f.DATASET.TEST_BATCH_SIZE = 16
-        q8f_rate, n_segs = run_leg(
+        run_q8f = prepare_leg(
             lambda: ConsolidatedSegmentDataset(cfg_q8f, q8f_path), cfg_q8f
         )
 
@@ -355,12 +362,25 @@ def bench_e2e():
         # pipeline_depth=0: the reference's loop syncs per segment
         # (predict.py:66-117 converts to CPU inside the batch loop), so
         # the baseline leg keeps that structure
-        f32_rate, _ = run_leg(
+        run_f32 = prepare_leg(
             lambda: SegmentDataset(cfg_f32, dataset, phase="test"), cfg_f32,
             pipeline_depth=0,
         )
+
+        # INTERLEAVED rounds (drift protocol, same rationale as
+        # _time_interleaved): both legs sample the same tunnel load
+        q8f_times, f32_times, n_segs = [], [], 0
+        for _i in range(5):
+            t_q, n_segs = run_q8f()
+            q8f_times.append(t_q)
+            t_f, _ = run_f32()
+            f32_times.append(t_f)
+        q8f_rate = n_segs / float(np.median(q8f_times))
+        f32_rate = n_segs / float(np.median(f32_times))
+        q_lo, q_hi = np.percentile(q8f_times, [25, 75])
         return {
             "e2e_segments_per_sec": round(q8f_rate, 2),
+            "e2e_iqr": [round(n_segs / q_hi, 2), round(n_segs / q_lo, 2)],
             "e2e_vs_per_file_f32": round(q8f_rate / f32_rate, 2),
             "e2e_num_segments": n_segs,
         }
@@ -403,11 +423,18 @@ def bench_detector():
         {"f32": (make_step(model), 5), "bf16": (make_step(model16), 5)},
         rounds=5, warmup=2,
     )
+
+    def iqr(ts):
+        lo, hi = np.percentile(ts, [25, 75])
+        return [round(batch / hi, 1), round(batch / lo, 1)]
+
     return {
         "detector_frames_per_sec": round(batch / float(np.median(t["f32"])), 1),
+        "detector_iqr": iqr(t["f32"]),
         "detector_bf16_frames_per_sec": round(
             batch / float(np.median(t["bf16"])), 1
         ),
+        "detector_bf16_iqr": iqr(t["bf16"]),
         "detector_batch": batch,
     }
 
@@ -443,8 +470,12 @@ def bench_tracker():
         rounds=5, warmup=2,
     )
     fps = (b * t_frames) / float(np.median(t["trk"]))
+    lo, hi = np.percentile(t["trk"], [25, 75])
     return {
         "tracker_frames_per_sec": round(fps, 1),
+        "tracker_iqr": [
+            round(b * t_frames / hi, 1), round(b * t_frames / lo, 1)
+        ],
         "tracker_batch": b,
         "tracker_cascade_depth": cfg.cascade_depth,
     }
