@@ -228,6 +228,42 @@ def main():
         pooled = jnp.einsum("rjw,riwc->rijc", wx, tmp)
         return (pooled * (1.0 / (s * s))).astype(features.dtype)
 
+    # ---------------- XLA separable, transpose-free batched dot --------
+    # The two-einsum form leaves XLA to plan 'rjw,riwc->rijc', which can
+    # materialize a transposed (r, w, i*c) intermediate. This variant
+    # pins the schedule: tmp (r, i, w, c) comes out of one big GEMM
+    # naturally, and the second contraction is a dot_general with batch
+    # dims (r, i) — wx broadcast over i is tiny — so no big relayout can
+    # appear.
+    @jax.jit
+    def roi_xlasep2(features, bxs):
+        lo_x = bxs[:, 0] - 0.5
+        lo_y = bxs[:, 1] - 0.5
+        bw = jnp.clip(bxs[:, 2] - bxs[:, 0], 1e-6)
+        bh = jnp.clip(bxs[:, 3] - bxs[:, 1], 1e-6)
+
+        def tables(lo, extent, size):
+            bin_of = jnp.arange(out)[:, None]
+            coords = jnp.arange(size)[None, :]
+            fn = _pooled_axis_weights(
+                lo[:, None, None], extent[:, None, None], size, out, s,
+                coords[None],
+            )
+            return sum(fn(bin_of[None], a) for a in range(s))
+
+        wy = tables(lo_y, bh, h).astype(features.dtype)   # (R, out, h)
+        wx = tables(lo_x, bw, w).astype(features.dtype)   # (R, out, w)
+        rr = bxs.shape[0]
+        tmp = jax.lax.dot_general(
+            wy, features.reshape(h, w * c),
+            (((2,), (0,)), ((), ())),
+        ).reshape(rr, out, w, c)                          # (R, i, w, c)
+        wx_b = jnp.broadcast_to(wx[:, None], (rr, out, out, w))
+        pooled = jax.lax.dot_general(
+            wx_b, tmp, (((3,), (2,)), ((0, 1), (0, 1))),
+        )                                                 # (R, i, j, c)
+        return (pooled * (1.0 / (s * s))).astype(features.dtype)
+
     # ---------------- parity gates -------------------------------------
     # vs the gather oracle the tolerance absorbs TPU f32 MATMUL precision
     # (the shipped grid kernel itself differs from the oracle by ~5e-3 on
@@ -248,13 +284,16 @@ def main():
     )
     got_sel = np.asarray(roi_selector(f0, b0), np.float32)
     got_sep = np.asarray(roi_xlasep(f0, b0), np.float32)
+    got_sep2 = np.asarray(roi_xlasep2(f0, b0), np.float32)
     tol = 1.5e-2 if args.dtype == "f32" else 4e-2
     scale = float(np.max(np.abs(oracle)) + 1e-9)
     err_sel = float(np.max(np.abs(got_sel - oracle)))
     err_sep = float(np.max(np.abs(got_sep - oracle)))
+    err_sep2 = float(np.max(np.abs(got_sep2 - oracle)))
     err_sel_grid = float(np.max(np.abs(got_sel - got_grid)))
     assert err_sel / scale < tol, f"selector parity {err_sel / scale}"
     assert err_sep / scale < tol, f"xlasep parity {err_sep / scale}"
+    assert err_sep2 / scale < tol, f"xlasep2 parity {err_sep2 / scale}"
     assert err_sel_grid / scale < 2e-3, (
         f"selector-vs-grid {err_sel_grid / scale} (expansion not exact?)"
     )
@@ -283,6 +322,7 @@ def main():
         "constg": (make_leg(roi_constg), args.iters),
         "selector": (make_leg(roi_selector), args.iters),
         "xlasep": (make_leg(roi_xlasep), args.iters),
+        "xlasep2": (make_leg(roi_xlasep2), args.iters),
     }
     t = _time_interleaved(legs, rounds=args.rounds, warmup=2)
     res = {
