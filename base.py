@@ -118,7 +118,10 @@ def training(cfg, args, data_dir):
         # video batch sharded over the same device mesh
         from tspn_tpu.runtime.span_train import train_span_model
 
-        train_span_model(cfg, basedata, use_mesh=True)
+        train_span_model(
+            cfg, basedata, use_mesh=True,
+            augment=bool(cfg.RELPN.DPN.get("AUGMENT", False)),
+        )
 
 
 def detect(cfg, args, data_dir):

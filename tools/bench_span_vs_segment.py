@@ -55,6 +55,21 @@ def main():
     parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend"
     )
+    parser.add_argument(
+        "--augment", action="store_true",
+        help="train the span model with temporal-crop + feature-dropout "
+             "augmentation (runtime/span_train.augment_video_batch)",
+    )
+    parser.add_argument(
+        "--aug_shift", type=float, default=0.25,
+        help="max temporal-crop fraction (augment_video_batch "
+             "max_shift_frac); ablation knob",
+    )
+    parser.add_argument(
+        "--aug_dropout", type=float, default=0.1,
+        help="feature dropout rate (augment_video_batch feat_dropout); "
+             "ablation knob",
+    )
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -118,7 +133,10 @@ def main():
         seg_state = train(cfg_seg, dataset)
         seg_params = seg_state.params
         span_model, span_params = train_span_model(
-            cfg_span, dataset, max_iter=args.span_iters, lr=2e-3
+            cfg_span, dataset, max_iter=args.span_iters, lr=2e-3,
+            augment=args.augment,
+            aug_kwargs={"max_shift_frac": args.aug_shift,
+                        "feat_dropout": args.aug_dropout},
         )
 
         # ---- segment mode: per-segment scoring + greedy association --
@@ -185,6 +203,9 @@ def main():
             "segment_mode_r50": round(float(seg_rec[50]), 4),
             "span_mode_map": round(float(span_map), 4),
             "span_mode_r50": round(float(span_rec[50]), 4),
+            "span_augment": bool(args.augment),
+            "aug_shift": args.aug_shift if args.augment else None,
+            "aug_dropout": args.aug_dropout if args.augment else None,
             "backend": jax.default_backend(),
         }))
     finally:

@@ -239,6 +239,11 @@ def get_default_config() -> Config:
                     # predicates (train matches test); off = the
                     # teacher-forced two-phase pipeline
                     "JOINT_OBJECTIVE": False,
+                    # temporal-crop + feature-dropout training
+                    # augmentation (runtime/span_train.py::
+                    # augment_video_batch) — the anti-memorization
+                    # lever for the video-level relness head (DESIGN §8)
+                    "AUGMENT": False,
                 },
             },
             "ETC": {

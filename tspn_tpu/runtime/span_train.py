@@ -43,6 +43,65 @@ def stack_video_batches(records: List[VideoPairRecord]) -> dict:
     return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
 
+def augment_video_batch(
+    batch: dict,
+    key: jax.Array,
+    frames_per_step: float,
+    max_shift_frac: float = 0.25,
+    feat_dropout: float = 0.1,
+) -> dict:
+    """Temporal-crop + feature-dropout augmentation for a stacked video
+    batch {seq_feats (B,P,S,D), seq_mask (B,P,S), gt_spans (B,P,G,2),
+    gt_mask (B,P,G), seg_labels (B,P,S,R), ...} — jit-friendly, shapes
+    unchanged.
+
+    Why: the video-level DPN relness head memorizes at small scale
+    (loss_relationness -> 0 by iter ~40 on the fixture, DESIGN §8) —
+    it sees one sequence per chain pair where the segment model sees
+    one row per (pair, segment). A random temporal left-crop re-anchors
+    every sequence against the anchor grid each step (the conv trunk is
+    translation-equivariant but anchor MATCHING is positional), and
+    element dropout on the BoW-heavy features breaks exact-sequence
+    memorization. Both are identity at inference.
+
+    Per video: sample t0 in [0, floor(S * max_shift_frac)], roll
+    feats/mask/labels left by t0 segments (wrapped tail re-zeroed),
+    shift GT spans by -t0 * frames_per_step and drop GTs whose
+    remaining length < frames_per_step / 2."""
+    bsz, _p, s_num = batch["seq_mask"].shape
+    k_shift, k_drop = jax.random.split(key)
+    max_shift = int(s_num * max_shift_frac)
+    t0 = jax.random.randint(k_shift, (bsz,), 0, max_shift + 1)  # (B,)
+
+    keep = (
+        jnp.arange(s_num)[None, :] < (s_num - t0)[:, None]
+    ).astype(batch["seq_mask"].dtype)  # (B, S) zero the wrapped tail
+
+    def roll_s(x, axis):
+        # per-video roll along the segment axis (vmap over B)
+        return jax.vmap(lambda v, t: jnp.roll(v, -t, axis=axis - 1))(x, t0)
+
+    out = dict(batch)
+    out["seq_feats"] = roll_s(batch["seq_feats"], 2) * keep[:, None, :, None]
+    out["seq_mask"] = roll_s(batch["seq_mask"], 2) * keep[:, None, :]
+    out["seg_labels"] = roll_s(batch["seg_labels"], 2) * keep[:, None, :, None]
+
+    shift_frames = (t0 * frames_per_step).astype(batch["gt_spans"].dtype)
+    spans = batch["gt_spans"] - shift_frames[:, None, None, None]
+    spans = jnp.maximum(spans, 0.0)
+    alive = (spans[..., 1] - spans[..., 0]) > (frames_per_step * 0.5)
+    out["gt_spans"] = spans
+    out["gt_mask"] = batch["gt_mask"] * alive.astype(batch["gt_mask"].dtype)
+
+    if feat_dropout > 0.0:
+        keep_p = 1.0 - feat_dropout
+        mask = jax.random.bernoulli(
+            k_drop, keep_p, out["seq_feats"].shape
+        ).astype(out["seq_feats"].dtype)
+        out["seq_feats"] = out["seq_feats"] * mask / keep_p
+    return out
+
+
 def build_span_model(cfg) -> SpanTSPN:
     return SpanTSPN(
         num_predicates=cfg.PREDICT.PREDICATE_NUM,
@@ -67,6 +126,8 @@ def train_span_model(
     joint_kwargs: Optional[dict] = None,
     use_mesh: bool = False,
     weight_decay: float = 0.0,
+    augment: bool = False,
+    aug_kwargs: Optional[dict] = None,
 ):
     """Train SpanTSPN over the train split's video pair records.
 
@@ -136,7 +197,14 @@ def train_span_model(
         else span_tspn_loss
     )
 
-    def step_impl(params, opt_state, batch, video_w):
+    akw = dict(aug_kwargs or {})
+
+    def step_impl(params, opt_state, batch, video_w, aug_key):
+        if augment:
+            batch = augment_video_batch(
+                batch, aug_key, float(model.frames_per_step), **akw
+            )
+
         def loss_fn(p):
             # vmap the per-video loss over the stacked video batch;
             # video_w zeroes mesh-padding repeats (weighted mean equals
@@ -165,7 +233,7 @@ def train_span_model(
         shard = NamedSharding(mesh, P(cfg.MESH.DATA_AXIS))
         step = jax.jit(
             step_impl,
-            in_shardings=(rep, rep, shard, shard),
+            in_shardings=(rep, rep, shard, shard, rep),
             out_shardings=(rep, rep, rep),
         )
         logger.info(f"span training sharded over {mesh.devices.size} device(s)")
@@ -202,6 +270,7 @@ def train_span_model(
     max_iter = max_iter or cfg.SOLVER.MAX_ITER
     meters = MetricLogger()
     rng_np = np.random.RandomState(seed)
+    aug_base = jax.random.PRNGKey(seed + 1)
     end = time.time()
     for it in range(max_iter):
         key = group_keys[rng_np.choice(len(group_keys), p=group_probs)]
@@ -228,7 +297,9 @@ def train_span_model(
                 },
                 b,
             )
-        params, opt_state, losses = step(params, opt_state, batch, video_w)
+        params, opt_state, losses = step(
+            params, opt_state, batch, video_w, jax.random.fold_in(aug_base, it)
+        )
         meters.update(time=time.time() - end,
                       **{k: float(v) for k, v in losses.items()})
         end = time.time()
