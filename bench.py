@@ -419,14 +419,35 @@ def bench_detector():
 
         return lambda tag, c: det_step(params, imgs, jnp.float32(tag), c)
 
+    # batch-8 bf16 companion leg: detect's best measured operating point
+    # (round 4, DESIGN.md §6c) — recorded by the driver, not just DESIGN
+    imgs8 = jnp.stack([img0] * 8)
+
+    @jax.jit
+    def det_step8(p, ims, tag, carry):
+        ims = ims + 1e-4 * (tag + carry)
+        det = jax.vmap(
+            lambda im: model16.apply(
+                {"params": p}, im, method=FasterRCNN.detect
+            )
+        )(ims)
+        return jnp.sum(det["scores"].astype(jnp.float32)) * 1e-6
+
     t = _time_interleaved(
-        {"f32": (make_step(model), 5), "bf16": (make_step(model16), 5)},
+        {
+            "f32": (make_step(model), 5),
+            "bf16": (make_step(model16), 5),
+            "bf16_bs8": (
+                lambda tag, c: det_step8(params, imgs8, jnp.float32(tag), c),
+                5,
+            ),
+        },
         rounds=5, warmup=2,
     )
 
-    def iqr(ts):
+    def iqr(ts, n=batch):
         lo, hi = np.percentile(ts, [25, 75])
-        return [round(batch / hi, 1), round(batch / lo, 1)]
+        return [round(n / hi, 1), round(n / lo, 1)]
 
     return {
         "detector_frames_per_sec": round(batch / float(np.median(t["f32"])), 1),
@@ -436,6 +457,10 @@ def bench_detector():
         ),
         "detector_bf16_iqr": iqr(t["bf16"]),
         "detector_batch": batch,
+        "detector_bs8_bf16_frames_per_sec": round(
+            8 / float(np.median(t["bf16_bs8"])), 1
+        ),
+        "detector_bs8_bf16_iqr": iqr(t["bf16_bs8"], 8),
     }
 
 
