@@ -63,3 +63,48 @@ def test_get_triplets(synthetic_dataset):
     trips = ds.get_triplets("train")
     assert all(len(t) == 3 for t in trips)
     assert len(trips) > 0
+
+
+def test_per_split_seed_pins_test_split_across_num_train(tmp_path):
+    # per_split_seed=True must emit byte-identical test-video CONTENT
+    # regardless of num_train (the scaling-sweep contract,
+    # tools/bench_span_vs_segment.py); default single-stream mode is
+    # position-coupled and must stay unchanged for seeded fixtures.
+    import json
+    import os
+
+    from tspn_tpu.data.synthetic import generate_annotations
+
+    def test_annos(root, num_train):
+        generate_annotations(
+            str(root), num_train=num_train, num_test=2, seed=5,
+            num_categories=4, num_predicate_types=6, per_split_seed=True,
+        )
+        out = []
+        for name in sorted(os.listdir(root / "test")):
+            with open(root / "test" / name) as f:
+                anno = json.load(f)
+            anno.pop("video_id")  # ids carry the global counter
+            out.append(anno)
+        return out
+
+    a = test_annos(tmp_path / "a", 3)
+    b = test_annos(tmp_path / "b", 9)
+    assert a == b
+    # and the default stays coupled (sanity that the knob is real)
+    generate_annotations(
+        str(tmp_path / "c"), num_train=3, num_test=2, seed=5,
+        num_categories=4, num_predicate_types=6,
+    )
+    generate_annotations(
+        str(tmp_path / "d"), num_train=9, num_test=2, seed=5,
+        num_categories=4, num_predicate_types=6,
+    )
+    c = sorted(os.listdir(tmp_path / "c" / "test"))
+    d = sorted(os.listdir(tmp_path / "d" / "test"))
+    with open(tmp_path / "c" / "test" / c[0]) as f:
+        cc = json.load(f)
+    with open(tmp_path / "d" / "test" / d[0]) as f:
+        dd = json.load(f)
+    cc.pop("video_id"), dd.pop("video_id")
+    assert cc != dd

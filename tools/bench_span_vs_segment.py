@@ -55,6 +55,12 @@ def main():
     parser.add_argument(
         "--cpu", action="store_true", help="force the CPU backend"
     )
+    # scaling knobs (round 4): DESIGN §8 diagnoses the span-mode
+    # quality gap as relness memorization of a tiny video-level
+    # training set; sweeping --num_train measures whether the gap
+    # closes as the video count grows (the claim's test, not a guess)
+    parser.add_argument("--num_train", type=int, default=6)
+    parser.add_argument("--num_test", type=int, default=6)
     parser.add_argument(
         "--augment", action="store_true",
         help="train the span model with temporal-crop + feature-dropout "
@@ -98,10 +104,15 @@ def main():
     try:
         data_dir = os.path.join(work, "vidvrd")
         out_dir = os.path.join(work, "out")
+        # per_split_seed: the test videos must be IDENTICAL across
+        # --num_train values or the scaling sweep compares different
+        # eval sets (the single-stream default draws test after train)
         generate_annotations(
-            data_dir, num_train=6, num_test=6, frame_count=120,
+            data_dir, num_train=args.num_train, num_test=args.num_test,
+            frame_count=120,
             objects_per_video=4, relations_per_video=5, seed=5,
             num_categories=8, num_predicate_types=16,
+            per_split_seed=True,
         )
         dataset = VidVRD(
             data_dir, os.path.join(data_dir, "videos"), ["train", "test"]
@@ -196,6 +207,7 @@ def main():
             "segment_mode_s": round(seg_t, 3),
             "span_mode_s": round(span_t, 3),
             "num_videos": n_videos,
+            "num_train_videos": args.num_train,
             "num_segments": n_segments,
             "segment_mode_relations": sum(len(v) for v in seg_out.values()),
             "span_mode_relations": sum(len(v) for v in span_out.values()),

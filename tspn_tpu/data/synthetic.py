@@ -62,6 +62,7 @@ def generate_annotations(
     num_predicate_types: int = 0,
     vidor_format: bool = False,
     splits: Sequence[str] = ("train", "test"),
+    per_split_seed: bool = False,
 ) -> List[str]:
     """Write per-video annotations; returns video ids.
 
@@ -73,6 +74,13 @@ def generate_annotations(
     vocab slice so category pairs repeat across videos with different
     predicates — forcing models to use the pairwise feature signal rather
     than memorizing (subject, object) -> predicate shortcuts.
+
+    per_split_seed=True reseeds the RNG at each split boundary
+    (seed + split index) so the SAME test videos come out regardless
+    of num_train — required for training-set-size sweeps
+    (tools/bench_span_vs_segment.py --num_train). Default False keeps
+    the original single-stream draw order that every seeded fixture
+    and golden test in the repo depends on.
     """
     rng = np.random.RandomState(seed)
     objects = list(object_vocab or VIDVRD_OBJECTS)
@@ -83,7 +91,11 @@ def generate_annotations(
         predicates = predicates[:num_predicate_types]
     vids = []
     counter = 0
-    for split, count in zip(splits, (num_train, num_test)):
+    for split_ix, (split, count) in enumerate(
+        zip(splits, (num_train, num_test))
+    ):
+        if per_split_seed:
+            rng = np.random.RandomState(seed + 7919 * (split_ix + 1))
         for _ in range(count):
             vid = f"SYN_{split}_{counter:08d}"
             group = f"{counter % 2:04d}"
