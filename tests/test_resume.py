@@ -38,3 +38,24 @@ def test_resume_continues_not_restarts(cfg, synthetic_dataset, tmp_path, monkeyp
     assert ckpt2.endswith("_iter_10.pt")
     restored = load_checkpoint(ckpt2, state2.params)
     assert restored["step"] == 10
+
+
+def test_train_loop_plateau_mode_runs(cfg, synthetic_dataset):
+    """SCHEDULER.TYPE='plateau' drives the lr_scale step path end-to-end
+    (reference intent: lib/solver/build.py:45-52; the reference's own
+    plateau wiring crashes at its first scheduler.step())."""
+    from tspn_tpu.runtime.train import train
+
+    cfg = cfg.clone()
+    cfg.merge_from_dict({
+        "MODEL": {"NAME": "plateau_test"},
+        "PREDICT": {"PREDICATE_NUM": synthetic_dataset.get_predicate_num()},
+        "RELPN": {"USE_PPN": False, "USE_DPN": False},
+        "SOLVER": {"MAX_ITER": 6, "SCHEDULER": {"TYPE": "plateau"}},
+        "ETC": {"SAVE_FREQ": 100, "DISPLAY_FREQ": 100},
+        "BUCKETS": {"SEGMENTS_PER_STEP": 2},
+    })
+    state = train(cfg, synthetic_dataset)
+    assert int(np.asarray(state.step)) == 6
+    leaves = [np.asarray(x) for x in __import__("jax").tree_util.tree_leaves(state.params)]
+    assert all(np.isfinite(x).all() for x in leaves)

@@ -75,33 +75,51 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh=None,
     data_axis: str = "data",
+    with_lr_scale: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], tuple]:
     """Build the jitted train step; with a mesh, batch input is sharded
-    along `data_axis` and the state is replicated."""
+    along `data_axis` and the state is replicated.
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    With ``with_lr_scale`` the step takes a third scalar argument that
+    multiplies the optimizer's final update — the ReduceLROnPlateau
+    feedback channel (solver/optim.py::ReduceOnPlateauState). A dynamic
+    scalar input keeps the compiled program static: no retrace when the
+    plateau scheduler reduces the scale.
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   lr_scale=None):
         def loss_fn(params):
             losses = compute_losses(model, params, batch)
             return jnp.asarray(sum(losses.values())), losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        if lr_scale is not None:
+            updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         metrics = dict(losses)
         metrics["loss"] = total
         return new_state, metrics
 
+    if not with_lr_scale:
+        # keep the historical two-arg signature for every non-plateau path
+        fn = lambda state, batch: train_step(state, batch)  # noqa: E731
+    else:
+        fn = train_step
+
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(fn, donate_argnums=(0,))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(data_axis))
+    in_shardings = (replicated, sharded) + ((replicated,) if with_lr_scale else ())
     return jax.jit(
-        train_step,
-        in_shardings=(replicated, sharded),
+        fn,
+        in_shardings=in_shardings,
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
     )

@@ -30,7 +30,7 @@ from tspn_tpu.parallel.mesh import make_mesh, shard_batch
 from tspn_tpu.parallel.train_step import TrainState, make_train_step
 from tspn_tpu.runtime.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from tspn_tpu.runtime.logging_utils import MetricLogger, eta_string, setup_logger
-from tspn_tpu.solver.optim import build_optimizer
+from tspn_tpu.solver.optim import ReduceOnPlateauState, build_optimizer
 
 
 def _example_batch(bucket: int, batch: int, cfg) -> dict:
@@ -136,9 +136,12 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
         skip_batches=int(start_iter),
     )
     # one step program — jit retraces per batch shape (bucket) on its own
+    use_plateau = cfg.SOLVER.SCHEDULER.TYPE == "plateau"
     step_fn = make_train_step(
-        model, optimizer, mesh=mesh, data_axis=cfg.MESH.DATA_AXIS
+        model, optimizer, mesh=mesh, data_axis=cfg.MESH.DATA_AXIS,
+        with_lr_scale=use_plateau,
     )
+    plateau = ReduceOnPlateauState() if use_plateau else None
 
     end = time.time()
     global_iter = start_iter
@@ -150,7 +153,17 @@ def train(cfg, basedata, logger: Optional[logging.Logger] = None, resume: bool =
         data_time = time.time() - end
 
         batch = shard_batch(batch, mesh, cfg.MESH.DATA_AXIS)
-        state, metrics = step_fn(state, batch)
+        if use_plateau:
+            # reference semantics (scheduler.step(loss) every iteration,
+            # lib/modeling/train.py:77-78 intent): the per-step loss
+            # readback blocks, giving up async pipelining only when the
+            # plateau scheduler is actually selected
+            state, metrics = step_fn(
+                state, batch, np.float32(plateau.lr_scale)
+            )
+            plateau = plateau.update(float(metrics["loss"]))
+        else:
+            state, metrics = step_fn(state, batch)
         # defer the float() readbacks to display/save boundaries so up
         # to display_freq steps pipeline through JAX's async dispatch
         # (a per-step float(v) blocked on every tunnel round trip)

@@ -10,13 +10,22 @@ lr_scheduler.py:10-52 on optax:
   gradient BEFORE the Adam moments, matching torch.optim.Adam).
 * "warmup_multi": linear/constant warmup times gamma^bisect(milestones)
   stepped decay (lr_scheduler.py:40-52).
-* "multi": plain MultiStepLR. ("plateau" needs a loss feedback loop and
-  is provided via ReduceOnPlateauState in the train loop.)
+* "multi": plain MultiStepLR.
+* "plateau": constant base schedule; the loss-feedback reduction is
+  `ReduceOnPlateauState` below, stepped once per iteration by the train
+  loop (runtime/train.py) with the scalar loss, and applied as a
+  multiplier on the optimizer's final update. The reference configures
+  torch's ReduceLROnPlateau(mode='min', factor=0.9, patience=100)
+  (build.py:45-52) but then calls scheduler.step() WITHOUT the required
+  metric (lib/modeling/train.py:78 — a TypeError at the first step when
+  plateau is selected); this is the working implementation of that
+  intent, differential-tested against torch's own scheduler
+  (tests/test_solver.py).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
 import optax
@@ -56,6 +65,62 @@ def multistep_schedule(base_lr: float, milestones: Sequence[int], gamma: float):
         return base_lr * gamma ** jnp.sum(milestones_arr <= t)
 
     return schedule
+
+
+class ReduceOnPlateauState(NamedTuple):
+    """torch.optim.lr_scheduler.ReduceLROnPlateau, mode='min', as a pure
+    host-side state machine (reference wiring: lib/solver/build.py:45-52).
+
+    `lr_scale` starts at 1.0 and shrinks by `factor` whenever the metric
+    has not improved (relative threshold, torch 'rel' mode) for more than
+    `patience` consecutive steps. The train loop multiplies the
+    optimizer's update by `lr_scale` — exactly what reducing torch's
+    per-group lr does for both SGD (momentum buffers carry no lr) and
+    Adam (lr is a final multiplier on m_hat/(sqrt(v_hat)+eps)).
+    Hyperparameter defaults are the reference's: factor 0.9, patience
+    100; the rest are torch's own defaults.
+    """
+
+    best: float = float("inf")
+    num_bad: int = 0
+    cooldown_count: int = 0
+    lr_scale: float = 1.0
+    # hyperparameters (carried in-state so update() is a pure function)
+    factor: float = 0.9
+    patience: int = 100
+    threshold: float = 1e-4
+    threshold_mode: str = "rel"
+    cooldown: int = 0
+    min_scale: float = 0.0
+    eps: float = 1e-8
+
+    def _is_better(self, metric: float) -> bool:
+        if self.threshold_mode == "rel":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric < self.best - self.threshold  # 'abs'
+
+    def update(self, metric: float) -> "ReduceOnPlateauState":
+        """One scheduler.step(metric); returns the successor state."""
+        metric = float(metric)
+        if self._is_better(metric):
+            best, num_bad = metric, 0
+        else:
+            best, num_bad = self.best, self.num_bad + 1
+        cooldown_count = self.cooldown_count
+        if cooldown_count > 0:
+            cooldown_count -= 1
+            num_bad = 0
+        lr_scale = self.lr_scale
+        if num_bad > self.patience:
+            new_scale = max(lr_scale * self.factor, self.min_scale)
+            if lr_scale - new_scale > self.eps:
+                lr_scale = new_scale
+            cooldown_count = self.cooldown
+            num_bad = 0
+        return self._replace(
+            best=best, num_bad=num_bad,
+            cooldown_count=cooldown_count, lr_scale=lr_scale,
+        )
 
 
 def _is_bias(path) -> bool:
