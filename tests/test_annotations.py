@@ -80,17 +80,15 @@ def test_per_split_seed_pins_test_split_across_num_train(tmp_path):
             str(root), num_train=num_train, num_test=2, seed=5,
             num_categories=4, num_predicate_types=6, per_split_seed=True,
         )
-        out = []
+        out = {}
         for name in sorted(os.listdir(root / "test")):
             with open(root / "test" / name) as f:
-                anno = json.load(f)
-            anno.pop("video_id")  # ids carry the global counter
-            out.append(anno)
+                out[name] = json.load(f)  # ids are split-local: keep them
         return out
 
     a = test_annos(tmp_path / "a", 3)
     b = test_annos(tmp_path / "b", 9)
-    assert a == b
+    assert a == b  # filenames, video_ids, AND content all pinned
     # and the default stays coupled (sanity that the knob is real)
     generate_annotations(
         str(tmp_path / "c"), num_train=3, num_test=2, seed=5,
@@ -108,3 +106,41 @@ def test_per_split_seed_pins_test_split_across_num_train(tmp_path):
         dd = json.load(f)
     cc.pop("video_id"), dd.pop("video_id")
     assert cc != dd
+
+
+def test_per_split_seed_pins_test_artifacts_across_num_train(tmp_path):
+    """Test-split h5 FEATURES (incl. proposal jitter, which drives vIoU
+    matching in quality evals) must be byte-identical across num_train
+    when both generators use per_split_seed (advisor finding, round 4)."""
+    import hashlib
+    import os
+
+    from tspn_tpu.data.annotations import VidVRD
+    from tspn_tpu.data.synthetic import (
+        generate_annotations,
+        generate_segment_artifacts,
+    )
+
+    def digest(root, num_train):
+        data_dir = str(root / "vidvrd")
+        out_dir = str(root / "out")
+        generate_annotations(
+            data_dir, num_train=num_train, num_test=2, seed=5,
+            num_categories=4, num_predicate_types=6, per_split_seed=True,
+        )
+        ds = VidVRD(data_dir, os.path.join(data_dir, "videos"),
+                    ["train", "test"])
+        generate_segment_artifacts(ds, out_dir, seed=5, per_split_seed=True)
+        rel_dir = os.path.join(out_dir, "features", "relation")
+        out = {}
+        for vid in sorted(os.listdir(rel_dir)):
+            if "test" not in vid:
+                continue
+            for fn in sorted(os.listdir(os.path.join(rel_dir, vid))):
+                with open(os.path.join(rel_dir, vid, fn), "rb") as f:
+                    out[f"{vid}/{fn}"] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    a = digest(tmp_path / "a", 2)
+    b = digest(tmp_path / "b", 7)
+    assert a and a == b

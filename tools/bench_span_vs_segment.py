@@ -118,7 +118,12 @@ def main():
             data_dir, os.path.join(data_dir, "videos"), ["train", "test"]
         )
         set_output_dir(out_dir)
-        generate_segment_artifacts(dataset, out_dir, seed=5)
+        # per_split_seed here too: test-split FEATURES and proposal
+        # jitter must also be byte-identical across --num_train values
+        # (advisor finding r4 — vIoU matching depends on the jitter)
+        generate_segment_artifacts(
+            dataset, out_dir, seed=5, per_split_seed=True
+        )
 
         cfg = get_default_config()
         cfg.PREDICT.PREDICATE_NUM = dataset.get_predicate_num()

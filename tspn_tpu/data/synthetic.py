@@ -76,11 +76,13 @@ def generate_annotations(
     than memorizing (subject, object) -> predicate shortcuts.
 
     per_split_seed=True reseeds the RNG at each split boundary
-    (seed + split index) so the SAME test videos come out regardless
-    of num_train — required for training-set-size sweeps
-    (tools/bench_span_vs_segment.py --num_train). Default False keeps
-    the original single-stream draw order that every seeded fixture
-    and golden test in the repo depends on.
+    (seed + split index) AND numbers videos split-locally, so the test
+    split comes out byte-identical — content, ids, filenames, vidor
+    group paths — regardless of num_train. Required for
+    training-set-size sweeps (tools/bench_span_vs_segment.py
+    --num_train). Default False keeps the original single-stream draw
+    order + global counter that every seeded fixture and golden test in
+    the repo depends on.
     """
     rng = np.random.RandomState(seed)
     objects = list(object_vocab or VIDVRD_OBJECTS)
@@ -96,9 +98,10 @@ def generate_annotations(
     ):
         if per_split_seed:
             rng = np.random.RandomState(seed + 7919 * (split_ix + 1))
-        for _ in range(count):
-            vid = f"SYN_{split}_{counter:08d}"
-            group = f"{counter % 2:04d}"
+        for idx_in_split in range(count):
+            number = idx_in_split if per_split_seed else counter
+            vid = f"SYN_{split}_{number:08d}"
+            group = f"{number % 2:04d}"
             if vidor_format:
                 os.makedirs(os.path.join(root, split, group), exist_ok=True)
             else:
@@ -171,6 +174,7 @@ def generate_segment_artifacts(
     num_predicates: int = 132,
     jitter: float = 2.0,
     seed: int = 0,
+    per_split_seed: bool = False,
 ) -> int:
     """Fabricate per-segment relation h5 + traj_cls JSON for every segment.
 
@@ -182,6 +186,12 @@ def generate_segment_artifacts(
     num_objects sets the classeme slot width of the feature layout
     (35 -> the reference's 11070-d layout; VidOR's 80 -> 11160-d); the
     dataset's category ids must fit, i.e. get_object_num() <= num_objects.
+
+    per_split_seed=True reseeds the RNG at each split boundary (same
+    scheme as generate_annotations) so test-split features/jitter are
+    byte-identical across training-set sizes — without it a --num_train
+    sweep evaluates on *different* artifacts each time because the train
+    split's draws shift the single RNG stream (advisor finding, round 4).
     """
     assert dataset.get_object_num() <= num_objects, (
         f"dataset has {dataset.get_object_num()} object categories but the "
@@ -190,7 +200,9 @@ def generate_segment_artifacts(
     set_output_dir(output_dir)
     rng = np.random.RandomState(seed)
     written = 0
-    for split in splits:
+    for split_ix, split in enumerate(splits):
+        if per_split_seed:
+            rng = np.random.RandomState(seed + 7919 * (split_ix + 1))
         for vid in dataset.get_index(split):
             anno = dataset.get_anno(vid)
             rel_insts = dataset.get_relation_insts(vid, no_traj=True)
