@@ -257,3 +257,42 @@ def test_crowded_frame_does_not_corrupt_tracks():
     assert len(before) == 4
     # the four original identities survive the crowded frame
     assert before <= after
+
+
+def test_track_videos_sharded_equivalence():
+    """track_videos_sharded over an 8-device mesh == track_videos_batch
+    on one device, including a batch size that needs padding (VERDICT r4
+    item 4: the tracker's multi-chip path)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tspn_tpu.tracking.tracker import (
+        TrackerConfig,
+        track_videos_batch,
+        track_videos_sharded,
+    )
+
+    b, t, d, f = 5, 12, 6, 16  # 5 % 8 != 0: exercises the pad path
+    rng = np.random.RandomState(3)
+    base = rng.uniform(50, 300, (b, 1, d, 2))
+    drift = np.cumsum(rng.randn(b, t, d, 2) * 2.0, axis=1)
+    xy = (base + drift).astype(np.float32)
+    wh = np.broadcast_to(
+        rng.uniform(20, 60, (b, 1, d, 2)).astype(np.float32), xy.shape
+    )
+    tlwh = jnp.asarray(np.concatenate([xy, wh], axis=-1))
+    feats = jnp.asarray(rng.randn(b, t, d, f).astype(np.float32))
+    mask = jnp.asarray(rng.rand(b, t, d) < 0.9)
+
+    cfg = TrackerConfig(max_tracks=16, gallery_size=8, cascade_depth=30)
+    ref = jax.tree_util.tree_map(
+        np.asarray, track_videos_batch(cfg, tlwh, feats, mask)
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    out = jax.tree_util.tree_map(
+        np.asarray, track_videos_sharded(cfg, tlwh, feats, mask, mesh)
+    )
+    assert set(ref) == set(out)
+    for k in ref:
+        np.testing.assert_allclose(ref[k], out[k], atol=1e-5, err_msg=k)

@@ -143,13 +143,23 @@ def predict_video_relations(
         jnp.asarray(record.seq_feats), jnp.asarray(record.seq_mask),
         jnp.float32(frame_count), jnp.asarray(seg_bounds),
     )
-    spans = np.asarray(outs["spans"])          # (P, K, 2)
+    return _assemble_relations(
+        dataset, record, np.asarray(outs["spans"]),
+        np.asarray(outs["score"]), frame_count, top_per_video,
+    )
 
+
+def _assemble_relations(
+    dataset, record, spans, scores, frame_count, top_per_video
+) -> List[dict]:
+    """Host-side tail of span inference: rank (pair, span, predicate)
+    cells, materialize chain trajectories, serialize relation dicts.
+    Shared by the per-video and the mesh-sharded batch paths."""
     pair_valid = np.zeros(spans.shape[0], bool)
     pair_valid[: record.num_pairs] = True
     # in-span-evidence score (see _jitted_propose docstring), zeroed on
     # padding pairs
-    scores = np.asarray(outs["score"]) * pair_valid[:, None, None]
+    scores = scores * pair_valid[:, None, None]
 
     flat = scores.reshape(-1)
     order = np.argsort(-flat)[: top_per_video * 4]
@@ -231,20 +241,112 @@ def _maybe_ppn_ranker(cfg, logger=None):
     )
 
 
+@lru_cache(maxsize=None)
+def _jitted_propose_batch(model: SpanTSPN, top_k_spans: int, mesh,
+                          data_axis: str):
+    """vmap of _jitted_propose's program over a VIDEO batch dimension,
+    jitted with the batch sharded over the mesh's data axis and params
+    replicated — span inference's multi-chip path (VERDICT r4 item 4).
+    No cross-device communication: each device proposes/classifies its
+    own videos, mirroring runtime/predict.py:292-326's segment sharding.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    single = _jitted_propose(model, top_k_spans)
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(data_axis))
+    return jax.jit(
+        jax.vmap(single, in_axes=(None, 0, 0, 0, 0)),
+        in_shardings=(rep, shard, shard, shard, shard),
+        out_shardings=shard,
+    )
+
+
 def detect_spans(
-    cfg, dataset, model: SpanTSPN, params, logger=None
+    cfg, dataset, model: SpanTSPN, params, logger=None,
+    mesh=None, data_axis: str = "data",
 ) -> Dict[str, List[dict]]:
-    """All test videos -> {vid: [relation dicts]} (prediction JSON body)."""
+    """All test videos -> {vid: [relation dicts]} (prediction JSON body).
+
+    With a mesh, videos sharing a pair-record shape are stacked, padded
+    to a multiple of the mesh size, and proposed/classified in one
+    sharded program per shape group; the host-side assembly is identical
+    either way, so outputs match the single-device loop exactly
+    (tests/test_span_tspn.py::test_detect_spans_sharded_equivalence).
+    """
     test_split = dataset.infer_test_split()
     seg_dataset = SegmentDataset(cfg, dataset, phase=test_split)
     rank_pairs_fn = _maybe_ppn_ranker(cfg, logger)
-    results = {}
-    for vid in dataset.get_index(test_split):
-        results[vid] = predict_video_relations(
-            dataset, seg_dataset, model, params, vid,
-            top_per_video=cfg.PREDICT.TOPK_PER_SEG,
+    if mesh is None:
+        results = {}
+        for vid in dataset.get_index(test_split):
+            results[vid] = predict_video_relations(
+                dataset, seg_dataset, model, params, vid,
+                top_per_video=cfg.PREDICT.TOPK_PER_SEG,
+                rank_pairs_fn=rank_pairs_fn,
+            )
+            if logger:
+                logger.info(f"{vid}: {len(results[vid])} span relations")
+        return results
+    return _detect_spans_sharded(
+        cfg, dataset, seg_dataset, model, params, mesh, data_axis,
+        rank_pairs_fn, logger,
+    )
+
+
+def _detect_spans_sharded(
+    cfg, dataset, seg_dataset, model, params, mesh, data_axis,
+    rank_pairs_fn, logger,
+):
+    from tspn_tpu.data.vrdataset import effective_feature_dim
+
+    top_per_video = cfg.PREDICT.TOPK_PER_SEG
+    n_dev = int(np.prod(mesh.devices.shape))
+    results: Dict[str, List[dict]] = {}
+
+    # build all records host-side, grouped by device shape (videos with
+    # the same segment-count bucket share one compiled program)
+    groups: Dict[tuple, list] = {}
+    for vid in dataset.get_index(dataset.infer_test_split()):
+        record = build_video_pair_record(
+            dataset, seg_dataset, vid,
+            feature_dim=effective_feature_dim(seg_dataset.cfg),
+            num_objects=seg_dataset.num_objects,
+            num_predicates=seg_dataset.cfg.PREDICT.PREDICATE_NUM,
             rank_pairs_fn=rank_pairs_fn,
         )
-        if logger:
-            logger.info(f"{vid}: {len(results[vid])} span relations")
+        if record is None:
+            results[vid] = []
+            continue
+        frame_count = dataset.get_anno(vid)["frame_count"]
+        bounds = np.asarray(record.chains.segments, np.float32)
+        key = (record.seq_feats.shape, bounds.shape)
+        groups.setdefault(key, []).append((vid, record, frame_count, bounds))
+
+    run = _jitted_propose_batch(model, 8, mesh, data_axis)
+    for key, items in groups.items():
+        v = len(items)
+        pad = (-v) % n_dev
+
+        def stack(build):
+            arrs = [build(it) for it in items]
+            arrs += [np.zeros_like(arrs[0])] * pad
+            return jnp.asarray(np.stack(arrs))
+
+        outs = run(
+            params,
+            stack(lambda it: np.asarray(it[1].seq_feats)),
+            stack(lambda it: np.asarray(it[1].seq_mask)),
+            stack(lambda it: np.float32(it[2])),
+            stack(lambda it: it[3]),
+        )
+        spans = np.asarray(outs["spans"])
+        scores = np.asarray(outs["score"])
+        for i, (vid, record, frame_count, _bounds) in enumerate(items):
+            results[vid] = _assemble_relations(
+                dataset, record, spans[i], scores[i], frame_count,
+                top_per_video,
+            )
+            if logger:
+                logger.info(f"{vid}: {len(results[vid])} span relations")
     return results
