@@ -63,6 +63,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# ---- TPU v5e single-chip peaks (the tunneled chip reports "TPU v5
+# lite" = v5e). bf16 MXU 197 TFLOP/s, int8 394 TOP/s, HBM 819 GB/s.
+# MFU convention: float legs are normalized to the bf16 peak — XLA's
+# default f32 matmul precision on TPU runs bf16 passes on the MXU, so
+# bf16 peak is the honest ceiling for both "f32" and bf16 legs; int8
+# Pallas legs normalize to the int8 peak. hbm_frac normalizes the
+# leg's known streamed bytes to the 819 GB/s theoretical peak (the
+# chip's own measured streaming rate over this tunnel is ~460 GB/s,
+# DESIGN.md §7 — so ~0.56 hbm_frac is this environment's speed of
+# light for HBM-bound kernels).
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_INT8_OPS = 394e12
+V5E_PEAK_HBM_BYTES = 819e9
+
+
+def _xla_cost(jitted, *args):
+    """FLOPs + HBM bytes of a compiled program via XLA's own
+    cost_analysis (VERDICT r4 item 3). Pallas custom calls inside the
+    program contribute ZERO to these numbers — use analytic counts for
+    kernel legs, this for XLA-compiled legs."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        d = c[0] if isinstance(c, (list, tuple)) else c
+        return {
+            "flops": float(d.get("flops", 0.0)),
+            "bytes": float(d.get("bytes accessed", 0.0)),
+        }
+    except Exception:
+        return None
+
+
 def _time_interleaved(legs, rounds=7, warmup=3, max_rounds=None,
                       stable_leg=None, rel_iqr=0.15):
     """Per-iteration times for several legs measured in INTERLEAVED
@@ -105,15 +136,27 @@ def _time_interleaved(legs, rounds=7, warmup=3, max_rounds=None,
             _ = float(np.asarray(carry))
             per_leg[name].append((time.perf_counter() - start) / iters)
 
+    stable_legs = (
+        [stable_leg] if isinstance(stable_leg, str) else list(stable_leg or [])
+    )
+
+    def _unstable():
+        for name in stable_legs:
+            ts = np.asarray(per_leg[name])
+            p25, p75 = np.percentile(ts, [25, 75])
+            if (p75 - p25) / np.median(ts) > rel_iqr:
+                return True
+        return False
+
     for _r in range(rounds):
         run_round()
-    while stable_leg is not None and max_rounds and len(
-        per_leg[stable_leg]
-    ) < max_rounds:
-        ts = np.asarray(per_leg[stable_leg])
-        p25, p75 = np.percentile(ts, [25, 75])
-        if (p75 - p25) / np.median(ts) <= rel_iqr:
-            break
+    # round-4 lesson (VERDICT r4 weak 5): the headline/baseline RATIO
+    # drifted round-over-round because only the headline leg was held to
+    # an IQR bar — stabilize EVERY leg named in stable_leg so the ratio
+    # is reproducible within IQR, not just the numerator
+    while stable_legs and max_rounds and len(
+        per_leg[stable_legs[0]]
+    ) < max_rounds and _unstable():
         run_round()
     return {name: np.asarray(ts) for name, ts in per_leg.items()}
 
@@ -237,7 +280,9 @@ def bench_kernels():
         ),
         "ref": (ref_step, 2),  # each ref iter = `segments` dispatches
     }
-    t = _time_interleaved(legs, rounds=ROUNDS, max_rounds=15, stable_leg="opt")
+    t = _time_interleaved(
+        legs, rounds=ROUNDS, max_rounds=21, stable_leg=("opt", "ref")
+    )
     pairs_per_sec = p_total / np.median(t["opt"])
     p25, p75 = np.percentile(t["opt"], [25, 75])
     q8s_pairs_per_sec = p_total / np.median(t["q8s"])
@@ -246,6 +291,49 @@ def bench_kernels():
     def iqr(ts):
         lo, hi = np.percentile(ts, [25, 75])
         return [round(p_total / hi, 1), round(p_total / lo, 1)]
+
+    # ---- roofline normalization (VERDICT r4 item 3). Pallas custom
+    # calls are invisible to XLA cost_analysis, so the two int8 legs use
+    # ANALYTIC matmul flops + streamed bytes from the actual array
+    # shapes; the f32 reference leg uses XLA's own numbers.
+    rp = int(wq["sw_rel_pad"].shape[-1]) if hasattr(
+        wq["sw_rel_pad"], "shape"
+    ) else 256
+    fact_flops = 2.0 * (
+        nt_total * geo_t.device_dim * 2 * rp      # per-tracklet pass
+        + p_total * geo_r.device_dim * rp         # per-pair relative pass
+        + 2 * p_total * n_trk * rp                # one-hot A-table adds
+    )
+    fact_bytes = (
+        trk_q.nbytes + trk_s.nbytes + rel_q.nbytes + rel_s.nbytes
+        + 2 * p_total * rp * 4      # y intermediate: pallas write + XLA read
+        + p_total * rp * 4          # final logits write
+    )
+    ncols = int(sw_dev.shape[0])  # 132 — the q8s kernel's output width
+    q8s_flops = 2.0 * p_total * DEVICE_DIM * ncols
+    q8s_bytes = (
+        feats_q8.nbytes + scales.nbytes + p_total * ncols * 4
+    )
+    t_opt, t_q8s, t_ref = (
+        float(np.median(t["opt"])), float(np.median(t["q8s"])),
+        float(np.median(t["ref"])),
+    )
+    ref_cost = _xla_cost(
+        ref_one, seg, w32, b_dev, jnp.float32(0.0), jnp.float32(0.0)
+    )
+    roofline = {
+        "opt_mfu_int8": round(fact_flops / t_opt / V5E_PEAK_INT8_OPS, 4),
+        "opt_hbm_frac": round(fact_bytes / t_opt / V5E_PEAK_HBM_BYTES, 4),
+        "q8s_mfu_int8": round(q8s_flops / t_q8s / V5E_PEAK_INT8_OPS, 4),
+        "q8s_hbm_frac": round(q8s_bytes / t_q8s / V5E_PEAK_HBM_BYTES, 4),
+    }
+    if ref_cost:
+        roofline["baseline_mfu_bf16"] = round(
+            ref_cost["flops"] * segments / t_ref / V5E_PEAK_BF16_FLOPS, 4
+        )
+        roofline["baseline_hbm_frac"] = round(
+            ref_cost["bytes"] * segments / t_ref / V5E_PEAK_HBM_BYTES, 4
+        )
 
     return {
         "value": round(pairs_per_sec, 1),
@@ -257,6 +345,7 @@ def bench_kernels():
         "q8s_iqr": iqr(t["q8s"]),
         "iters": {"opt": len(t["opt"]) * 25, "q8s": len(t["q8s"]) * 10,
                   "ref": len(t["ref"]) * 2 * segments},
+        **roofline,
     }
 
 
@@ -417,7 +506,9 @@ def bench_detector():
             )(ims)
             return jnp.sum(det["scores"].astype(jnp.float32)) * 1e-6
 
-        return lambda tag, c: det_step(params, imgs, jnp.float32(tag), c)
+        return det_step, (
+            lambda tag, c: det_step(params, imgs, jnp.float32(tag), c)
+        )
 
     # batch-8 bf16 companion leg: detect's best measured operating point
     # (round 4, DESIGN.md §6c) — recorded by the driver, not just DESIGN
@@ -433,10 +524,12 @@ def bench_detector():
         )(ims)
         return jnp.sum(det["scores"].astype(jnp.float32)) * 1e-6
 
+    step_f32, leg_f32 = make_step(model)
+    step_bf16, leg_bf16 = make_step(model16)
     t = _time_interleaved(
         {
-            "f32": (make_step(model), 5),
-            "bf16": (make_step(model16), 5),
+            "f32": (leg_f32, 5),
+            "bf16": (leg_bf16, 5),
             "bf16_bs8": (
                 lambda tag, c: det_step8(params, imgs8, jnp.float32(tag), c),
                 5,
@@ -449,7 +542,7 @@ def bench_detector():
         lo, hi = np.percentile(ts, [25, 75])
         return [round(n / hi, 1), round(n / lo, 1)]
 
-    return {
+    out = {
         "detector_frames_per_sec": round(batch / float(np.median(t["f32"])), 1),
         "detector_iqr": iqr(t["f32"]),
         "detector_bf16_frames_per_sec": round(
@@ -462,6 +555,26 @@ def bench_detector():
         ),
         "detector_bs8_bf16_iqr": iqr(t["bf16_bs8"], 8),
     }
+    # MFU vs the bf16 MXU peak (the R101-C4 conv stack dominates; the
+    # Pallas RoIAlign's flops are uncounted but negligible next to it)
+    zero = jnp.float32(0.0)
+    for key, step, args, n in (
+        ("detector_mfu", step_f32, (params, imgs), batch),
+        ("detector_bf16_mfu", step_bf16, (params, imgs), batch),
+        ("detector_bs8_bf16_mfu", det_step8, (params, imgs8), 8),
+    ):
+        cost = _xla_cost(step, *args, zero, zero)
+        if cost:
+            leg = {"detector_mfu": "f32", "detector_bf16_mfu": "bf16",
+                   "detector_bs8_bf16_mfu": "bf16_bs8"}[key]
+            out[key] = round(
+                cost["flops"] / float(np.median(t[leg]))
+                / V5E_PEAK_BF16_FLOPS, 4
+            )
+            out.setdefault(
+                "detector_flops_per_frame", round(cost["flops"] / n)
+            )
+    return out
 
 
 def bench_tracker():
@@ -496,7 +609,7 @@ def bench_tracker():
     )
     fps = (b * t_frames) / float(np.median(t["trk"]))
     lo, hi = np.percentile(t["trk"], [25, 75])
-    return {
+    out = {
         "tracker_frames_per_sec": round(fps, 1),
         "tracker_iqr": [
             round(b * t_frames / hi, 1), round(b * t_frames / lo, 1)
@@ -504,6 +617,15 @@ def bench_tracker():
         "tracker_batch": b,
         "tracker_cascade_depth": cfg.cascade_depth,
     }
+    # the tracker is latency/sequential-scan bound, not FLOP bound —
+    # its MFU is expected to be tiny; reported so "fast" is falsifiable
+    cost = _xla_cost(trk_step, tlwh, feats, jnp.float32(0.0), jnp.float32(0.0))
+    if cost:
+        out["tracker_mfu"] = round(
+            cost["flops"] / float(np.median(t["trk"])) / V5E_PEAK_BF16_FLOPS,
+            6,
+        )
+    return out
 
 
 def _run_guarded(out, name, fn, timeout_s):
