@@ -45,6 +45,16 @@ def main():
     parser.add_argument("--train_iters", type=int, default=60)
     parser.add_argument("--idt_frames", type=int, default=400)
     parser.add_argument("--idt_hw", type=int, default=192)
+    parser.add_argument(
+        "--span", action="store_true",
+        help="also drive SPAN mode (tspn.yaml semantics: span train + "
+             "span detect) at the same video length — the span path is "
+             "the reference's intended long-video mechanism "
+             "(relpn/dpn_anchor.py:36-48) and stacks videos by "
+             "segment-count bucket, so 199-segment buckets are exactly "
+             "what this exercises (VERDICT r4 item 6)",
+    )
+    parser.add_argument("--span_iters", type=int, default=60)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -161,6 +171,42 @@ def main():
             len(v) for v in payload["results"].values()
         )
         assert out["predicted_videos"] == args.videos
+
+        # ---- span-mode leg: span train + span detect at the same
+        # video length (the 199-segment fixed-shape bucket path) -------
+        if args.span:
+            from tspn_tpu.runtime.span_predict import detect_spans
+            from tspn_tpu.runtime.span_train import train_span_model
+
+            cfg_span = cfg.clone()
+            cfg_span.RELPN.USE_PPN = False
+            cfg_span.RELPN.USE_DPN = True
+            cfg_span.RELPN.DPN.JOINT_OBJECTIVE = True
+            rss_before = rss_mb()
+            t0 = time.perf_counter()
+            span_model, span_params = train_span_model(
+                cfg_span, dataset, max_iter=args.span_iters, lr=2e-3,
+            )
+            out["span_train_s"] = round(time.perf_counter() - t0, 1)
+            out["span_train_iters"] = args.span_iters
+            out["rss_after_span_train_mb"] = round(rss_mb(), 1)
+            t0 = time.perf_counter()
+            span_results = detect_spans(
+                cfg_span, dataset, span_model, span_params
+            )
+            out["span_detect_s"] = round(time.perf_counter() - t0, 1)
+            out["rss_after_span_detect_mb"] = round(rss_mb(), 1)
+            out["span_relations"] = sum(
+                len(v) for v in span_results.values()
+            )
+            out["span_rss_growth_mb"] = round(rss_mb() - rss_before, 1)
+            assert set(span_results) == set(dataset.get_index("validation"))
+            for rels in span_results.values():
+                for r in rels:
+                    assert r["duration"][1] <= args.frames
+                    assert len(r["sub_traj"]) == (
+                        r["duration"][1] - r["duration"][0]
+                    )
 
         # ---- iDT chunking leg: long clip, memory-bounded windows ------
         from tspn_tpu.features.idt import idt_per_slot
