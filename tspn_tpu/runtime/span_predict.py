@@ -296,7 +296,7 @@ def detect_spans(
 
 def _detect_spans_sharded(
     cfg, dataset, seg_dataset, model, params, mesh, data_axis,
-    rank_pairs_fn, logger,
+    rank_pairs_fn, logger, top_k_spans: int = 8,
 ):
     from tspn_tpu.data.vrdataset import effective_feature_dim
 
@@ -323,7 +323,7 @@ def _detect_spans_sharded(
         key = (record.seq_feats.shape, bounds.shape)
         groups.setdefault(key, []).append((vid, record, frame_count, bounds))
 
-    run = _jitted_propose_batch(model, 8, mesh, data_axis)
+    run = _jitted_propose_batch(model, top_k_spans, mesh, data_axis)
     for key, items in groups.items():
         v = len(items)
         pad = (-v) % n_dev
