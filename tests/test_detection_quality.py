@@ -1,23 +1,32 @@
 """Held-out detector quality floor (VERDICT r4 stretch item 8).
 
 The overfit test (test_detection.py) proves the Faster R-CNN learns ONE
-scene; nothing guarded generalization. This trains on N synthetic scenes
-and pins a held-out mAP floor via detection/eval.py — the same kind of
-quality regression the relation path gets from its e2e tests. Scene
-family: axis-aligned colored rectangles (class = color) with background
-noise; COCO-checkpoint-level accuracy parity remains environment-blocked
-(no weights/dataset here, DESIGN.md §6), but within-family generalization
-is now a tested invariant rather than an assumption.
-Ref: /root/reference/detectron/trainer.py:23-40 (recipe + eval hook).
+scene; nothing guarded generalization. This trains on 12 synthetic
+scenes and pins a held-out mAP floor via detection/eval.py — the same
+kind of quality regression the relation path gets from its e2e tests.
+Scene family: axis-aligned colored rectangles (class = color) with
+background noise; COCO-checkpoint-level accuracy parity remains
+environment-blocked (no weights/dataset here, DESIGN.md §6), but
+within-family generalization is now a tested invariant rather than an
+assumption. Ref: /root/reference/detectron/trainer.py:23-40.
+
+The train/eval workload runs in a SUBPROCESS
+(tests/detector_quality_worker.py, like the distributed-launch test):
+a fresh single-purpose process keeps the heavy train-graph compile
+isolated from suite-wide jit-cache state. Two wall-clock levers matter
+on the 1-core host: jax.jit(model.init) (eager init of the train graph
+runs op-by-op at ~20x the cost) and vmap width 2 (halves the compiled
+graph). ~80 s in-suite on an idle host.
 """
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-import pytest
+import json
+import os
+import subprocess
+import sys
 
-from tspn_tpu.detection.eval import evaluate_detections
-from tspn_tpu.detection.rcnn import DetectionConfig, FasterRCNN
+import numpy as np
+
+from tspn_tpu.detection.rcnn import DetectionConfig
 
 CFG = DetectionConfig(
     num_classes=3,
@@ -63,70 +72,18 @@ def _dataset(rng, n):
     )
 
 
-@pytest.mark.slow
 def test_detector_held_out_map_floor():
-    import optax
-
-    rng = np.random.RandomState(0)
-    train = _dataset(rng, 12)
-    test = _dataset(rng, 6)
-
-    model = FasterRCNN(cfg=CFG)
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.asarray(train[0][0]),
-        jnp.asarray(train[1][0]), jnp.asarray(train[2][0]),
-        jnp.asarray(train[3][0]),
-    )["params"]
-    opt = optax.adam(1e-3)
-    opt_state = opt.init(params)
-
-    @jax.jit
-    def step(params, opt_state, imgs, boxes, classes, masks):
-        def loss_fn(p):
-            losses = jax.vmap(
-                lambda i, b, c, m: model.apply({"params": p}, i, b, c, m)
-            )(imgs, boxes, classes, masks)
-            return sum(jnp.mean(v) for v in losses.values())
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    bsz = 4
-    order = np.arange(len(train[0]))
-    srng = np.random.RandomState(1)
-    for it in range(120):
-        if it % (len(order) // bsz) == 0:
-            srng.shuffle(order)
-        sel = order[(it * bsz) % len(order): (it * bsz) % len(order) + bsz]
-        if len(sel) < bsz:
-            sel = order[:bsz]
-        _, _, loss = (params, opt_state, None)
-        params, opt_state, loss = step(
-            params, opt_state,
-            jnp.asarray(train[0][sel]), jnp.asarray(train[1][sel]),
-            jnp.asarray(train[2][sel]), jnp.asarray(train[3][sel]),
-        )
-    assert np.isfinite(float(loss))
-
-    detect = jax.jit(
-        lambda p, im: model.apply({"params": p}, im, method=FasterRCNN.detect)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "detector_quality_worker.py")],
+        capture_output=True, text=True, timeout=1200, env=env,
     )
-    records, detections = [], {}
-    for i in range(len(test[0])):
-        anns = [
-            {"bbox": test[1][i][k].tolist(), "category_id": int(test[2][i][k])}
-            for k in range(MAX_GT) if test[3][i][k] > 0
-        ]
-        records.append({"image_id": i, "annotations": anns})
-        det = detect(params, jnp.asarray(test[0][i]))
-        detections[i] = {
-            "boxes": np.asarray(det["boxes"]),
-            "scores": np.asarray(det["scores"]),
-            "classes": np.asarray(det["classes"]),
-            "mask": np.asarray(det["mask"]),
-        }
-    mean_ap, per_class = evaluate_detections(records, detections)
-    # floor: measured 3 seeds at this budget gave mAP well above this;
-    # a generalization regression (not noise) is what should trip it
-    assert mean_ap >= 0.30, (mean_ap, per_class)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert np.isfinite(result["final_loss"])
+    # floor: measured 0.823 at this budget/seed (~3 min standalone);
+    # 0.40 leaves seed-variance headroom — a generalization regression,
+    # not noise, is what should trip it
+    assert result["mean_ap"] >= 0.40, result
