@@ -365,3 +365,124 @@ def test_feature_preprocess_matches_reference(ref):
     ours = l1_normalize_bow_blocks(feats)
     theirs = VRDataset._feature_preprocess(None, feats.astype(np.float64).copy())
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# (e) object / action evaluation vs the reference's own modules
+# ---------------------------------------------------------------------------
+
+def _random_traj_dict(rng, fstart, n):
+    """{frame_id(str): [x0,y0,x1,y1]} — the object-eval trajectory form."""
+    boxes = _random_traj(rng, n)
+    return {str(fstart + i): boxes[i] for i in range(n)}
+
+
+def _make_object_case(seed, num_videos=4):
+    cats = ["dog", "cat", "car", "person"]
+    rng = np.random.RandomState(seed)
+    gt, pred = {}, {}
+    for v in range(num_videos):
+        vid = f"objfuzz_{seed}_{v}"
+        gt_tracks, pred_tracks = [], []
+        for _ in range(rng.randint(1, 4)):
+            c = cats[rng.randint(len(cats))]
+            s = int(rng.randint(0, 20))
+            n = int(rng.randint(10, 40))
+            traj = _random_traj_dict(rng, s, n)
+            gt_tracks.append({"category": c, "trajectory": traj})
+            for _ in range(rng.randint(0, 3)):  # jittered near-hits
+                jit = {
+                    fid: (np.asarray(b) + rng.uniform(-15, 15, 4)).tolist()
+                    for fid, b in traj.items()
+                    if rng.rand() < 0.9  # frame dropouts
+                }
+                pred_tracks.append({
+                    "category": c,
+                    "score": float(np.round(rng.uniform(0, 1), 1)),
+                    "trajectory": jit or traj,
+                })
+        for _ in range(rng.randint(1, 4)):  # clutter
+            pred_tracks.append({
+                "category": cats[rng.randint(len(cats))],
+                "score": float(np.round(rng.uniform(0, 1), 1)),
+                "trajectory": _random_traj_dict(
+                    rng, int(rng.randint(0, 30)), int(rng.randint(5, 25))
+                ),
+            })
+        gt[vid] = gt_tracks
+        pred[vid] = pred_tracks
+    return gt, pred
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_object_eval_matches_reference_fuzz(ref, seed, capsys):
+    import lib.evaluation.video_object_detection as ref_vod
+
+    from tspn_tpu.evaluation.object import evaluate as our_eval
+
+    gt, pred = _make_object_case(seed)
+    our_map, our_ap = our_eval(gt, pred, verbose=False)
+    ref_map, ref_ap = ref_vod.evaluate(gt, pred)
+    capsys.readouterr()
+    assert our_map == pytest.approx(ref_map, abs=1e-12)
+    assert dict(our_ap) == pytest.approx(dict(ref_ap), abs=1e-12)
+
+
+def _make_action_case(seed, num_videos=4):
+    acts = ["run", "jump", "sit", "walk"]
+    rng = np.random.RandomState(seed)
+    gt, pred = {}, {}
+    for v in range(num_videos):
+        vid = f"actfuzz_{seed}_{v}"
+        gt_tracks, pred_tracks = [], []
+        for _ in range(rng.randint(1, 4)):
+            c = acts[rng.randint(len(acts))]
+            s = int(rng.randint(0, 30))
+            n = int(rng.randint(10, 40))
+            dur = (s, s + n)
+            traj = _random_traj(rng, n)
+            gt_tracks.append(
+                {"category": c, "duration": dur, "trajectory": traj}
+            )
+            for _ in range(rng.randint(0, 3)):
+                shift = int(rng.randint(-4, 5))
+                d2 = (max(0, s + shift), s + n + shift)
+                pred_tracks.append({
+                    "category": c,
+                    "score": float(np.round(rng.uniform(0, 1), 1)),
+                    "duration": d2,
+                    "trajectory": [
+                        (np.asarray(b) + rng.uniform(-12, 12, 4)).tolist()
+                        for b in _random_traj(rng, d2[1] - d2[0])
+                    ] if rng.rand() < 0.3 else [
+                        (np.asarray(traj[min(max(f - shift, 0), n - 1)])
+                         + rng.uniform(-12, 12, 4)).tolist()
+                        for f in range(d2[1] - d2[0])
+                    ],
+                })
+        for _ in range(rng.randint(1, 3)):
+            s2 = int(rng.randint(0, 30))
+            n2 = int(rng.randint(5, 25))
+            pred_tracks.append({
+                "category": acts[rng.randint(len(acts))],
+                "score": float(np.round(rng.uniform(0, 1), 1)),
+                "duration": (s2, s2 + n2),
+                "trajectory": _random_traj(rng, n2),
+            })
+        gt[vid] = gt_tracks
+        pred[vid] = pred_tracks
+    return gt, pred
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_action_eval_matches_reference_fuzz(ref, seed, capsys):
+    import lib.evaluation.action_detection as ref_act
+
+    from tspn_tpu.evaluation.action import evaluate as our_eval
+
+    gt, pred = _make_action_case(seed)
+    our_map, our_ap = our_eval(gt, pred, verbose=False)
+    ref_map, ref_ap = ref_act.evaluate(gt, pred)
+    capsys.readouterr()
+    assert our_map == pytest.approx(ref_map, abs=1e-12)
+    assert dict(our_ap) == pytest.approx(dict(ref_ap), abs=1e-12)
