@@ -157,7 +157,18 @@ def detect(cfg, args, data_dir):
         assert ckpt, "no span checkpoint found; run --train with USE_DPN first"
         model, params = load_span_model(cfg, example, ckpt)
         logger.info(f"span-mode detection with {ckpt}")
-        video_relations = detect_spans(cfg, basedata, model, params, logger=logger)
+        mesh = None
+        if bool(cfg.PREDICT.get("SHARD_INFERENCE", False)):
+            # same knob as segment-mode inference (runtime/predict.py):
+            # videos shard over the mesh data axis
+            from tspn_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.MESH.NUM_DEVICES, cfg.MESH.DATA_AXIS)
+            logger.info(f"span inference sharded over {mesh.devices.size} device(s)")
+        video_relations = detect_spans(
+            cfg, basedata, model, params, logger=logger,
+            mesh=mesh, data_axis=cfg.MESH.DATA_AXIS,
+        )
         out_path = os.path.join(get_model_path(), "baseline_relation_prediction.json")
         with open(out_path, "w") as f:
             json.dump({"version": "VERSION 1.0", "results": video_relations}, f)
