@@ -486,3 +486,100 @@ def test_action_eval_matches_reference_fuzz(ref, seed, capsys):
     capsys.readouterr()
     assert our_map == pytest.approx(ref_map, abs=1e-12)
     assert dict(our_ap) == pytest.approx(dict(ref_ap), abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# (f) Kalman filter + appearance metric vs deep_sort's own modules
+# ---------------------------------------------------------------------------
+
+def test_kalman_matches_reference_unit(ref):
+    """initiate/predict/update/project/gating_distance of the batched
+    jnp Kalman against deep_sort's KalmanFilter (kalman_filter.py:23-229)
+    over random multi-step trajectories."""
+    from deep_sort.deep_sort.kalman_filter import KalmanFilter
+
+    from tspn_tpu.tracking import kalman
+
+    rng = np.random.RandomState(42)
+    ref_kf = KalmanFilter()
+    k = 6
+    meas0 = np.stack([
+        [rng.uniform(50, 400), rng.uniform(50, 400),
+         rng.uniform(0.3, 2.0), rng.uniform(30, 120)]
+        for _ in range(k)
+    ])
+    # tolerances are f32-scale: the jnp Kalman runs in float32 while
+    # deep_sort's runs float64 — the FORMULAS are what's differential
+    means, covs = kalman.initiate(np.asarray(meas0))
+    ref_states = [ref_kf.initiate(m) for m in meas0]
+    np.testing.assert_allclose(
+        np.asarray(means), np.stack([m for m, _ in ref_states]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(covs), np.stack([c for _, c in ref_states]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    for step in range(5):
+        means, covs = kalman.predict(means, covs)
+        ref_states = [ref_kf.predict(m, c) for m, c in ref_states]
+        np.testing.assert_allclose(
+            np.asarray(means), np.stack([m for m, _ in ref_states]),
+            rtol=1e-5, atol=1e-3, err_msg=f"predict step {step}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(covs), np.stack([c for _, c in ref_states]),
+            rtol=1e-3, atol=1e-3,
+        )
+        meas = meas0 + rng.randn(k, 4) * [3.0, 3.0, 0.02, 2.0]
+        # gating BEFORE update (what the cascade computes)
+        ours_gate = np.asarray(
+            kalman.gating_distance(means, covs, np.asarray(meas))
+        )
+        for t, (m, c) in enumerate(ref_states):
+            theirs = ref_kf.gating_distance(m, c, meas)
+            np.testing.assert_allclose(ours_gate[t], theirs, rtol=1e-3)
+        means, covs = kalman.update(means, covs, np.asarray(meas))
+        ref_states = [
+            ref_kf.update(m, c, z) for (m, c), z in zip(ref_states, meas)
+        ]
+        np.testing.assert_allclose(
+            np.asarray(means), np.stack([m for m, _ in ref_states]),
+            rtol=1e-4, atol=1e-3, err_msg=f"update step {step}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(covs), np.stack([c for _, c in ref_states]),
+            rtol=1e-3, atol=1e-3,
+        )
+
+
+def test_cosine_metric_matches_reference(ref):
+    """Gallery-vs-detection cosine cost against NearestNeighborDistanceMetric
+    (nn_matching.py): min over the budget-windowed gallery of
+    1 - cos — the number the cascade thresholds at 0.2."""
+    rng = np.random.RandomState(9)
+    budget = 4
+    metric = ref.nn.NearestNeighborDistanceMetric("cosine", 0.2, budget)
+    f = 32
+    # three targets, partial_fit in two waves so the budget window drops
+    # the oldest features of target 1
+    feats1 = rng.randn(3, f)
+    metric.partial_fit(feats1, np.asarray([1, 2, 3]), [1, 2, 3])
+    feats2 = rng.randn(5, f)
+    metric.partial_fit(feats2, np.asarray([1, 1, 1, 1, 2]), [1, 2, 3])
+    dets = rng.randn(4, f)
+    theirs = metric.distance(dets, np.asarray([1, 2, 3]))
+
+    # ours: the scan tracker's gallery cost = 1 - max(gal_norm @ det_norm)
+    galleries = {
+        1: np.concatenate([feats1[0:1], feats2[0:4]])[-budget:],
+        2: np.concatenate([feats1[1:2], feats2[4:5]])[-budget:],
+        3: feats1[2:3][-budget:],
+    }
+    ours = np.zeros((3, 4))
+    for row, tid in enumerate([1, 2, 3]):
+        gal = galleries[tid]
+        gal = gal / np.linalg.norm(gal, axis=1, keepdims=True)
+        d = dets / np.linalg.norm(dets, axis=1, keepdims=True)
+        ours[row] = 1.0 - (gal @ d.T).max(axis=0)
+    np.testing.assert_allclose(ours, theirs, atol=1e-10)
