@@ -510,12 +510,12 @@ def bench_detector():
             lambda tag, c: det_step(params, imgs, jnp.float32(tag), c)
         )
 
-    # batch-8 bf16 companion leg: detect's best measured operating point
-    # (round 4, DESIGN.md §6c) — recorded by the driver, not just DESIGN
-    imgs8 = jnp.stack([img0] * 8)
-
+    # larger-batch bf16 companion legs. bs8 was round 4's best measured
+    # operating point; the round-5 sweep (8/16/32) found bs16 +9% and
+    # bs32 flat vs bs16 — throughput saturates at ~195 f/s / 0.54 MFU,
+    # the rest living in the non-conv machinery (RPN NMS, RoI ops)
     @jax.jit
-    def det_step8(p, ims, tag, carry):
+    def det_step_b(p, ims, tag, carry):
         ims = ims + 1e-4 * (tag + carry)
         det = jax.vmap(
             lambda im: model16.apply(
@@ -524,6 +524,9 @@ def bench_detector():
         )(ims)
         return jnp.sum(det["scores"].astype(jnp.float32)) * 1e-6
 
+    imgs8 = jnp.stack([img0] * 8)
+    imgs16 = jnp.stack([img0] * 16)
+
     step_f32, leg_f32 = make_step(model)
     step_bf16, leg_bf16 = make_step(model16)
     t = _time_interleaved(
@@ -531,8 +534,12 @@ def bench_detector():
             "f32": (leg_f32, 5),
             "bf16": (leg_bf16, 5),
             "bf16_bs8": (
-                lambda tag, c: det_step8(params, imgs8, jnp.float32(tag), c),
+                lambda tag, c: det_step_b(params, imgs8, jnp.float32(tag), c),
                 5,
+            ),
+            "bf16_bs16": (
+                lambda tag, c: det_step_b(params, imgs16, jnp.float32(tag), c),
+                3,
             ),
         },
         rounds=5, warmup=2,
@@ -554,6 +561,10 @@ def bench_detector():
             8 / float(np.median(t["bf16_bs8"])), 1
         ),
         "detector_bs8_bf16_iqr": iqr(t["bf16_bs8"], 8),
+        "detector_bs16_bf16_frames_per_sec": round(
+            16 / float(np.median(t["bf16_bs16"])), 1
+        ),
+        "detector_bs16_bf16_iqr": iqr(t["bf16_bs16"], 16),
     }
     # MFU vs the bf16 MXU peak (the R101-C4 conv stack dominates; the
     # Pallas RoIAlign's flops are uncounted but negligible next to it)
@@ -561,12 +572,14 @@ def bench_detector():
     for key, step, args, n in (
         ("detector_mfu", step_f32, (params, imgs), batch),
         ("detector_bf16_mfu", step_bf16, (params, imgs), batch),
-        ("detector_bs8_bf16_mfu", det_step8, (params, imgs8), 8),
+        ("detector_bs8_bf16_mfu", det_step_b, (params, imgs8), 8),
+        ("detector_bs16_bf16_mfu", det_step_b, (params, imgs16), 16),
     ):
         cost = _xla_cost(step, *args, zero, zero)
         if cost:
             leg = {"detector_mfu": "f32", "detector_bf16_mfu": "bf16",
-                   "detector_bs8_bf16_mfu": "bf16_bs8"}[key]
+                   "detector_bs8_bf16_mfu": "bf16_bs8",
+                   "detector_bs16_bf16_mfu": "bf16_bs16"}[key]
             out[key] = round(
                 cost["flops"] / float(np.median(t[leg]))
                 / V5E_PEAK_BF16_FLOPS, 4
