@@ -630,14 +630,23 @@ def bench_tracker():
         "tracker_batch": b,
         "tracker_cascade_depth": cfg.cascade_depth,
     }
-    # the tracker is latency/sequential-scan bound, not FLOP bound —
-    # its MFU is expected to be tiny; reported so "fast" is falsifiable
-    cost = _xla_cost(trk_step, tlwh, feats, jnp.float32(0.0), jnp.float32(0.0))
-    if cost:
-        out["tracker_mfu"] = round(
-            cost["flops"] / float(np.median(t["trk"])) / V5E_PEAK_BF16_FLOPS,
-            6,
-        )
+    # the tracker is latency/sequential-scan bound, not FLOP bound — its
+    # MFU is expected to be tiny; reported so "fast" is falsifiable.
+    # XLA cost_analysis attributes ~0 flops to while/scan BODIES, so use
+    # an analytic per-frame count of the dominant dense work instead:
+    # Kalman predict/update/gating on (K,8,8) covariances + the (K,D)
+    # appearance cost against a (K,G,F) gallery + LAPJV's (K+D)^3 bound.
+    k_trk, g, fdim = cfg.max_tracks, cfg.gallery_size, f
+    flops_frame = (
+        k_trk * (8 * 8 * 8 * 4)            # F@cov@F^T, gain solves, etc.
+        + k_trk * g * fdim * 2 * d         # gallery @ detection features
+        + (k_trk + d) ** 3                 # LAPJV worst-case bound
+    )
+    out["tracker_flops_per_frame_analytic"] = flops_frame
+    out["tracker_mfu_analytic"] = round(
+        flops_frame * b * t_frames / float(np.median(t["trk"]))
+        / V5E_PEAK_BF16_FLOPS, 8,
+    )
     return out
 
 
@@ -667,7 +676,13 @@ def main():
         "metric": "tracklet_pairs_scored_per_sec_per_chip",
         "unit": "pairs/s",
     }
-    out.update(bench_kernels())
+    # the primary leg is guarded too: a tunnel hang mid-kernels must
+    # still emit the one JSON line (with a kernels_error field) rather
+    # than lose the whole bench record
+    _run_guarded(out, "kernels", bench_kernels, 1500)
+    if "value" not in out:
+        out.setdefault("value", 0.0)
+        out.setdefault("vs_baseline", 0.0)
     _run_guarded(out, "e2e", bench_e2e, 900)
     # secondary stage legs (skippable: TSPN_BENCH_FAST=1, or if the
     # primary legs already ate the time budget on a slow tunnel)

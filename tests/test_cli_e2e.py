@@ -120,3 +120,55 @@ def test_cli_no_flags_prints_help(monkeypatch, capsys):
     _run_cli(base_mod.main, ["base.py"], monkeypatch)
     out = capsys.readouterr().out
     assert "--preprocess" in out and "--train" in out
+
+
+def test_cli_span_mode_sharded_detect(cli_workdir, monkeypatch):
+    """Span-mode CLI branch (tspn.yaml semantics) through real argv with
+    PREDICT.SHARD_INFERENCE=True: --train runs segment + span phases,
+    --detect takes the mesh-sharded detect_spans path (videos over the
+    8-virtual-device data axis) and writes the same prediction-JSON
+    contract. Depends on the segment fixture test having populated the
+    per-segment artifacts in this workdir."""
+    import base as base_mod
+    from tspn_tpu.config import get_default_config
+    from tspn_tpu.data.segments import get_output_dir, set_output_dir
+
+    cfg = get_default_config()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
+                                     "configs", "tspn.yaml"))
+    cfg.MODEL.NAME = "tspn"
+    cfg.SOLVER.MAX_ITER = 150
+    cfg.SOLVER.SCHEDULER.MILESTONES = [80, 120]
+    cfg.SOLVER.SCHEDULER.WARMUP_ITERS = 30
+    cfg.PREDICT.PREDICATE_NUM = 8
+    cfg.PREDICT.SHARD_INFERENCE = True
+    cfg.ETC.SAVE_FREQ = 150
+    cfg.ETC.MODEL_DUMP_FILE = "tspn_weights_iter_150.pt"
+    with open(cli_workdir / "config_span.yaml", "w") as f:
+        f.write(cfg.dump())
+
+    monkeypatch.chdir(cli_workdir)
+    prev_out = get_output_dir()
+    try:
+        _run_cli(
+            base_mod.main,
+            ["base.py", "--config", "config_span.yaml", "--data_dir",
+             "data", "--dataset", "vidvrd", "--preprocess", "--train",
+             "--detect"],
+            monkeypatch,
+        )
+    finally:
+        set_output_dir(prev_out)
+
+    pred_path = (
+        cli_workdir / "vidvrd-baseline-output" / "models"
+        / "baseline_relation_prediction.json"
+    )
+    with open(pred_path) as f:
+        payload = json.load(f)
+    assert payload["version"] == "VERSION 1.0"
+    rels = [r for v in payload["results"].values() for r in v]
+    assert rels, "span-mode CLI produced no relations"
+    r = rels[0]
+    assert set(r) >= {"triplet", "score", "duration", "sub_traj", "obj_traj"}
+    assert len(r["sub_traj"]) == r["duration"][1] - r["duration"][0]
