@@ -324,8 +324,10 @@ def bench_kernels():
     roofline = {
         "opt_mfu_int8": round(fact_flops / t_opt / V5E_PEAK_INT8_OPS, 4),
         "opt_hbm_frac": round(fact_bytes / t_opt / V5E_PEAK_HBM_BYTES, 4),
+        "opt_achieved_gbps": round(fact_bytes / t_opt / 1e9, 1),
         "q8s_mfu_int8": round(q8s_flops / t_q8s / V5E_PEAK_INT8_OPS, 4),
         "q8s_hbm_frac": round(q8s_bytes / t_q8s / V5E_PEAK_HBM_BYTES, 4),
+        "q8s_achieved_gbps": round(q8s_bytes / t_q8s / 1e9, 1),
     }
     if ref_cost:
         roofline["baseline_mfu_bf16"] = round(
@@ -333,6 +335,9 @@ def bench_kernels():
         )
         roofline["baseline_hbm_frac"] = round(
             ref_cost["bytes"] * segments / t_ref / V5E_PEAK_HBM_BYTES, 4
+        )
+        roofline["baseline_achieved_gbps"] = round(
+            ref_cost["bytes"] * segments / t_ref / 1e9, 1
         )
 
     return {
