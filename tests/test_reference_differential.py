@@ -583,3 +583,35 @@ def test_cosine_metric_matches_reference(ref):
         d = dets / np.linalg.norm(dets, axis=1, keepdims=True)
         ours[row] = 1.0 - (gal @ d.T).max(axis=0)
     np.testing.assert_allclose(ours, theirs, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# (g) temporal tiling + artifact signature helpers vs lib/modeling/__init__
+# ---------------------------------------------------------------------------
+
+def test_segment_tiling_matches_reference(ref):
+    """segment_video's 30/15 tiling and get_segment_signature strings are
+    THE artifact-compatibility contract (every h5/json file name flows
+    through them) — check them against lib/modeling/__init__.py:5-41
+    itself over a range of durations including non-multiples and
+    too-short videos."""
+    import lib.modeling as ref_modeling
+
+    from tspn_tpu.data.segments import get_segment_signature, segment_video
+
+    rng = np.random.RandomState(17)
+    cases = [(0, 0), (0, 29), (0, 30), (0, 31), (0, 45), (5, 65),
+             (15, 3000)]
+    cases += [
+        (int(rng.randint(0, 50)), int(rng.randint(0, 4000)))
+        for _ in range(50)
+    ]
+    for fstart, fend in cases:
+        assert segment_video(fstart, fend) == ref_modeling.segment_video(
+            fstart, fend
+        ), (fstart, fend)
+    for vid, fs, fe in [("ILSVRC2015_train_00005003", 0, 30),
+                        ("x", 15, 45), ("v", 990, 1020)]:
+        assert get_segment_signature(vid, fs, fe) == (
+            ref_modeling.get_segment_signature(vid, fs, fe)
+        )
